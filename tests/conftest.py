@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+logic is exercised without TPU hardware (SURVEY.md §4 implication)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_fixture_json():
+    """Marker-extracted fixture document bundled with the reference (data, not code)."""
+    import json
+    path = os.path.join(REFERENCE_DIR, "New folder", "cn22-23", "cn22-23.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not available")
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,90 @@
+"""WordPiece tokenizer: exact parity with HuggingFace BertTokenizer.
+
+Recall parity of the whole system depends on tokenization fidelity
+(SURVEY.md §7.3 'Tokenizer fidelity').
+"""
+
+import numpy as np
+import pytest
+
+from financial_rag_tpu.tokenizer import WordPieceTokenizer, load_vocab
+
+CASES = [
+    "What is the rent for the first year?",
+    "Invoice INV-2022/23-0042 dated 30-Jul-22 for Rs. 42,800.00 (incl. GST @18%)",
+    "The lessor, M/s Bhartiya Enterprises, agrees to a lock-in period of 36 months.",
+    "  multiple   spaces\tand\nnewlines  ",
+    "CamelCase WORDS lowercase ÀçcéntÉd résumé naïve",
+    "unicode: 北京 tokyo 東京 mixed with english",
+    "punctuation!!! (parentheses) [brackets] {braces} a-b-c e.g., etc.;",
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+    "numbers 1234567890 3.14159 1,000,000.00 ₹500 $1.2M",
+    "email-like foo.bar@example.com and url http://example.com/x?y=1",
+    "emoji 🚀 and symbols © ® ™ ± µ",
+    "",
+    "a",
+    "[CLS] should not be treated specially mid-text? actually HF splits it",
+]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer()
+
+
+@pytest.fixture(scope="module")
+def hf_tok(tmp_path_factory):
+    transformers = pytest.importorskip("transformers")
+    import gzip
+    from financial_rag_tpu.tokenizer.vocab import default_vocab_path
+
+    d = tmp_path_factory.mktemp("hfvocab")
+    vocab_txt = d / "vocab.txt"
+    with gzip.open(default_vocab_path(), "rt", encoding="utf-8") as f:
+        vocab_txt.write_text(f.read(), encoding="utf-8")
+    return transformers.BertTokenizer(str(vocab_txt), do_lower_case=True)
+
+
+@pytest.mark.parametrize("text", [c for c in CASES if c.strip()])
+def test_tokenize_parity(tok, hf_tok, text):
+    assert tok.tokenize(text) == hf_tok.tokenize(text)
+
+
+@pytest.mark.parametrize("text", [c for c in CASES if c.strip()])
+def test_encode_parity(tok, hf_tok, text):
+    ours = tok.encode(text, max_len=512)
+    theirs = hf_tok.encode(text, truncation=True, max_length=512)
+    assert ours == theirs
+
+
+def test_encode_pair_parity(tok, hf_tok):
+    a = "What is the GST amount on the invoice?"
+    b = "The invoice total is Rs. 42,800 including GST of Rs. 6,528 at 18 percent." * 30
+    ours_ids, ours_types = tok.encode_pair(a, b, max_len=128)
+    enc = hf_tok(a, b, truncation=True, max_length=128)
+    assert ours_ids == enc["input_ids"]
+    assert ours_types == enc["token_type_ids"]
+
+
+def test_encode_batch_shapes(tok):
+    out = tok.encode_batch(["short", "a slightly longer sentence about invoices"], max_len=512)
+    assert out["input_ids"].shape == out["attention_mask"].shape
+    assert out["input_ids"].shape[1] % 64 == 0
+    assert out["input_ids"].dtype == np.int32
+    # row 0: [CLS] short [SEP] then PAD
+    assert out["attention_mask"][0].sum() == 3
+
+
+def test_long_word_becomes_unk(tok):
+    pieces = tok.tokenize("x" * 200)
+    assert pieces == ["[UNK]"]
+
+
+def test_empty_text(tok):
+    assert tok.tokenize("") == []
+    ids = tok.encode("", max_len=512)
+    assert ids == [tok.cls_id, tok.sep_id]
+
+
+def test_vocab_size():
+    assert len(load_vocab()) == 30522

@@ -1,0 +1,86 @@
+import time
+
+import pytest
+
+from financial_rag_tpu.config import FrameworkConfig, sanitize_for_json
+from financial_rag_tpu.utils import (
+    QueryAnalyzer,
+    RateLimiter,
+    TimingLogger,
+    assess_chunk_quality,
+    safe_divide,
+    safe_mean,
+    validate_and_sanitize_query,
+)
+from financial_rag_tpu.utils.sanitize import QueryValidationError
+
+
+def test_sanitize_strips_script():
+    q = validate_and_sanitize_query("rent <script>alert(1)</script> amount")
+    assert "script" not in q
+    assert "rent" in q and "amount" in q
+
+
+def test_sanitize_rejects_empty_and_long():
+    with pytest.raises(QueryValidationError):
+        validate_and_sanitize_query("   ")
+    with pytest.raises(QueryValidationError):
+        validate_and_sanitize_query("x" * 2000)
+    with pytest.raises(QueryValidationError):
+        validate_and_sanitize_query(123)
+
+
+def test_analyzer_intents():
+    qa = QueryAnalyzer()
+    assert qa.analyze("What is the total invoice amount?").intent in ("aggregation", "amount")
+    assert qa.analyze("Who is the lessor?").intent == "entity"
+    assert qa.analyze("hello").complexity == "simple"
+    assert qa.analyze("compare the rent for year one and year two, and the GST, and the lock-in").complexity == "complex"
+
+
+def test_rate_limiter():
+    rl = RateLimiter(max_calls=2, window_s=10.0)
+    t0 = 100.0
+    assert rl.allow(t0)
+    assert rl.allow(t0 + 1)
+    assert not rl.allow(t0 + 2)
+    assert rl.allow(t0 + 11)  # window slid
+
+
+def test_timing_logger():
+    tl = TimingLogger()
+    with tl.block("step"):
+        time.sleep(0.01)
+    s = tl.summary()
+    assert "step" in s and s["step"]["count"] == 1
+    assert s["step"]["total_s"] > 0
+
+
+def test_misc_helpers():
+    assert safe_mean([]) == 0.0
+    assert safe_mean([1, 3]) == 2.0
+    assert safe_divide(1, 0) == 0.0
+    assert assess_chunk_quality("rent amount", "the rent amount is 42800") == 1.0
+    assert assess_chunk_quality("rent", "") == 0.0
+
+
+def test_config_tree_and_sanitize(monkeypatch):
+    import numpy as np
+
+    monkeypatch.setenv("PARENT_MAX_TOKENS", "999")
+    cfg = FrameworkConfig.from_env()
+    assert cfg.chunking.parent_max_tokens == 999
+    assert cfg.fusion.rrf_k == 60
+    assert cfg.retrieval.top_parents == 3
+    d = sanitize_for_json({"a": np.float32(1.5), "b": np.arange(3), "c": [np.int64(2)]})
+    assert d == {"a": 1.5, "b": [0, 1, 2], "c": [2]}
+
+
+def test_model_config_from_json():
+    from financial_rag_tpu.config import ModelConfig
+    import os
+    p = "/root/reference/local_models/BAAI-bge-small-en-v1.5"
+    if not os.path.exists(p):
+        pytest.skip("reference models not available")
+    mc = ModelConfig.from_json(p)
+    assert mc.hidden_size == 384 and mc.num_layers == 12 and mc.vocab_size == 30522
