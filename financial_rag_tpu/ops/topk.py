@@ -1,0 +1,259 @@
+"""Tiled cosine-similarity matmul with on-chip top-k — the index hot path.
+
+This is the TPU-native replacement for the reference's hnswlib HNSW graph
+walk inside ChromaDB (reference chroma_child_store.py:62-74): instead of a
+pointer-chasing ANN graph (hostile to the MXU), the corpus is an HBM-resident
+[N, D] matrix streamed tile-by-tile through one kernel that fuses
+
+    scores tile  = Q @ X_tile^T          (MXU, bf16 in / f32 out)
+    running top-k = select(scores tile ∪ running top-k)   (VPU)
+
+so the [Bq, N] score matrix never exists in HBM. The kernel is
+HBM-bandwidth-bound on the corpus stream; one sweep serves a whole query
+block, which is what makes ≥50k QPS on a 100k-chunk index possible.
+
+Exactness: every corpus tile's candidates are merged into the running top-k,
+so results equal a full exact search. Ties break toward the lower corpus
+index (same as np.argsort(-s, kind='stable'); verified in tests vs a numpy
+oracle — SURVEY.md §7.3 'correctness at ties').
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from financial_rag_tpu.ops.common import cdiv, default_interpret, round_up
+
+NEG = -3.0e4  # below any cosine similarity; safe in bf16/f32
+
+
+def _merge_topk(cand_scores, cand_idx, k: int):
+    """Exact top-k of each row of cand_scores via k-step extraction.
+
+    cand_scores: [B, W] f32, cand_idx: [B, W] i32. Returns ([B, K], [B, K])
+    where K = padded k width (kpad); only the first k columns are meaningful.
+    Ties select the smallest candidate position (stable).
+    """
+    b, w = cand_scores.shape
+    kpad = round_up(k, 128)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (b, kpad), 1)
+
+    def body(i, carry):
+        cand, top_s, top_i = carry
+        m = jnp.max(cand, axis=1, keepdims=True)                      # [B,1]
+        at_max = cand == m
+        pos = jnp.min(jnp.where(at_max, col, w), axis=1, keepdims=True)  # first max
+        onehot = col == pos                                           # [B,W]
+        idx = jnp.sum(jnp.where(onehot, cand_idx, 0), axis=1, keepdims=True)
+        slot = out_col == i
+        top_s = jnp.where(slot, m, top_s)
+        top_i = jnp.where(slot, idx, top_i)
+        cand = jnp.where(onehot, NEG, cand)
+        return cand, top_s, top_i
+
+    top_s = jnp.full((b, kpad), NEG, jnp.float32)
+    top_i = jnp.full((b, kpad), -1, jnp.int32)
+    _, top_s, top_i = jax.lax.fori_loop(
+        0, k, body, (cand_scores.astype(jnp.float32), top_s, top_i))
+    return top_s, top_i
+
+
+def _topk_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, k: int, block_n: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)  # [Bq, T]
+    scores = scores + (valid_ref[:] - 1.0) * 1.0e5                              # mask empty slots
+
+    bq, t = scores.shape
+    local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
+    # running top-k first: on score ties the earlier (lower-index) entry wins
+    cand_s = jnp.concatenate([out_s_ref[:], scores], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[:], local], axis=1)
+    top_s, top_i = _merge_topk(cand_s, cand_i, k)
+    out_s_ref[:] = top_s
+    out_i_ref[:] = top_i
+
+
+def topk_matmul(
+    queries: jnp.ndarray,   # [Bq, D] (any float dtype; L2-normalized for cosine)
+    corpus: jnp.ndarray,    # [N, D]  (bf16 recommended; N multiple of block_n)
+    valid: jnp.ndarray,     # [N] 1.0 for live slots, 0.0 for empty
+    k: int,
+    *,
+    block_q: int = 64,
+    block_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k cosine search. Returns (scores [Bq, k] f32, idx [Bq, k] i32)."""
+    if interpret is None:
+        interpret = default_interpret()
+    bq, d = queries.shape
+    n = corpus.shape[0]
+    assert n % block_n == 0, f"corpus rows {n} must be a multiple of block_n {block_n}"
+    kpad = round_up(k, 128)
+
+    bqp = round_up(max(bq, 1), block_q)
+    if bqp != bq:
+        queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
+
+    qdt = corpus.dtype
+    grid = (bqp // block_q, n // block_n)
+
+    out_s, out_i = pl.pallas_call(
+        partial(_topk_kernel, k=k, block_n=block_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, kpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, kpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bqp, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bqp, kpad), jnp.int32),
+        ),
+        interpret=interpret,
+    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    return out_s[:bq, :k], out_i[:bq, :k]
+
+
+def _bucketed_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, block_n: int, nbuckets: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
+        out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+
+    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)  # [Bq, T]
+    scores = scores + (valid_ref[:] - 1.0) * 1.0e5
+
+    bq, t = scores.shape
+    local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
+    off = pl.multiple_of(jax.lax.rem(j * block_n, nbuckets), block_n)
+    seg_s = out_s_ref[:, pl.ds(off, t)]
+    seg_i = out_i_ref[:, pl.ds(off, t)]
+    better = scores > seg_s  # strict: ties keep the earlier (lower) corpus index
+    out_s_ref[:, pl.ds(off, t)] = jnp.where(better, scores, seg_s)
+    out_i_ref[:, pl.ds(off, t)] = jnp.where(better, local, seg_i)
+
+
+def bucketed_topk(
+    queries: jnp.ndarray,   # [Bq, D]
+    corpus: jnp.ndarray,    # [N, D]; N multiple of block_n
+    valid: jnp.ndarray,     # [N]
+    k: int,
+    *,
+    nbuckets: int = 4096,
+    block_q: int = 128,
+    block_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast near-exact top-k: fused matmul + per-bucket running max.
+
+    Corpus column j competes only within bucket j % nbuckets, so each tile
+    costs ~3 VPU passes (compare/select) instead of a k-step extraction —
+    the kernel runs at HBM speed-of-light on the corpus stream. A final
+    exact lax.top_k over the [Bq, nbuckets] bucket maxima yields the
+    result. Expected recall ≈ 1 - k(k-1)/(2·nbuckets) (two of the true
+    top-k colliding in one bucket loses the worse one): 0.997 for k=24,
+    nbuckets=4096. When N <= nbuckets the search is exact.
+
+    Same role as XLA's approx_max_k but fused with the similarity matmul so
+    the [Bq, N] score matrix never touches HBM.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    bq, d = queries.shape
+    n = corpus.shape[0]
+    assert n % block_n == 0, f"corpus rows {n} must be a multiple of block_n {block_n}"
+    if n < nbuckets:
+        nbuckets = n
+    assert nbuckets % block_n == 0, "nbuckets must be a multiple of block_n"
+
+    bqp = round_up(max(bq, 1), block_q)
+    if bqp != bq:
+        queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
+    qdt = corpus.dtype
+    grid = (bqp // block_q, n // block_n)
+
+    bucket_s, bucket_i = pl.pallas_call(
+        partial(_bucketed_kernel, block_n=block_n, nbuckets=nbuckets),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, nbuckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, nbuckets), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bqp, nbuckets), jnp.float32),
+            jax.ShapeDtypeStruct((bqp, nbuckets), jnp.int32),
+        ),
+        interpret=interpret,
+    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+
+    top_s, pos = jax.lax.top_k(bucket_s[:bq], k)
+    top_i = jnp.take_along_axis(bucket_i[:bq], pos, axis=1)
+    return top_s, top_i
+
+
+def topk_matmul_reference(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    *,
+    chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure-XLA exact top-k (lax.scan over corpus chunks + lax.top_k merge).
+
+    Used as the CPU/test oracle path and as a fallback index backend. Same
+    tie semantics as the Pallas kernel (lower index wins): lax.top_k is
+    stable, and the chunked merge keys ties by chunk order.
+    """
+    bq, d = queries.shape
+    n = corpus.shape[0]
+    chunk = min(chunk, n)
+    assert n % chunk == 0, f"corpus rows {n} must be a multiple of chunk {chunk}"
+    q = queries.astype(corpus.dtype)
+    num_chunks = n // chunk
+
+    corpus_r = corpus.reshape(num_chunks, chunk, d)
+    valid_r = valid.reshape(num_chunks, chunk).astype(jnp.float32)
+
+    def step(carry, inp):
+        run_s, run_i = carry
+        x, v, j = inp
+        s = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        s = s + (v[None, :] - 1.0) * 1.0e5
+        idx = jnp.arange(chunk, dtype=jnp.int32)[None, :] + j * chunk
+        cand_s = jnp.concatenate([run_s, s], axis=1)
+        cand_i = jnp.concatenate([run_i, jnp.broadcast_to(idx, (bq, chunk))], axis=1)
+        # stable top_k over scores; ties: earlier position == lower corpus idx
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (jnp.full((bq, k), NEG, jnp.float32), jnp.full((bq, k), -1, jnp.int32))
+    js = jnp.arange(num_chunks, dtype=jnp.int32)
+    (out_s, out_i), _ = jax.lax.scan(step, init, (corpus_r, valid_r, js))
+    return out_s, out_i

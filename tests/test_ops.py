@@ -1,0 +1,190 @@
+"""Pallas kernel unit tests vs jnp/numpy references (interpret mode on the
+CPU test mesh; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_tpu.ops import (
+    bucketed_topk,
+    flash_attention,
+    masked_mean_l2_normalize,
+    topk_matmul,
+    topk_matmul_reference,
+)
+
+
+def _np_topk(q, x, valid, k):
+    """Numpy oracle: exact cosine top-k, ties broken by lower index."""
+    s = q.astype(np.float32) @ x.astype(np.float32).T
+    s[:, valid == 0] = -np.inf
+    order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, order, axis=1), order
+
+
+class TestPoolNorm:
+    def test_matches_reference(self, rng):
+        b, s, h = 5, 64, 384
+        hidden = rng.standard_normal((b, s, h)).astype(np.float32)
+        mask = np.ones((b, s), np.int32)
+        mask[0, 10:] = 0
+        mask[3, 1:] = 0
+        out = np.asarray(masked_mean_l2_normalize(jnp.asarray(hidden), jnp.asarray(mask)))
+
+        m = mask[:, :, None].astype(np.float32)
+        ref = (hidden * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+        ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+    def test_block_padding(self, rng):
+        # batch not a multiple of block_b exercises the pad path
+        b, s, h = 3, 32, 128
+        hidden = rng.standard_normal((b, s, h)).astype(np.float32)
+        mask = np.ones((b, s), np.int32)
+        out = np.asarray(masked_mean_l2_normalize(jnp.asarray(hidden), jnp.asarray(mask), block_b=8))
+        assert out.shape == (b, h)
+
+
+class TestTopkMatmul:
+    @pytest.mark.parametrize("k", [1, 10, 24, 50])
+    def test_exact_vs_numpy_oracle(self, rng, k):
+        nq, n, d = 7, 2048, 384
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        valid = np.ones(n, np.float32)
+        valid[1000:1100] = 0.0
+
+        ref_s, ref_i = _np_topk(q, x, valid, k)
+        s, i = topk_matmul(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k, block_n=1024)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
+
+    def test_xla_reference_matches_oracle(self, rng):
+        nq, n, d, k = 4, 4096, 128, 16
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        valid = np.ones(n, np.float32)
+        ref_s, ref_i = _np_topk(q, x, valid, k)
+        s, i = topk_matmul_reference(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k, chunk=1024)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
+
+    def test_tie_breaking_lower_index(self):
+        d, n, k = 128, 1024, 4
+        x = np.zeros((n, d), np.float32)
+        # rows 5, 300, 700 identical -> identical scores; expect index order
+        unit = np.ones(d, np.float32) / np.sqrt(d)
+        for r in (700, 5, 300):
+            x[r] = unit
+        q = unit[None, :]
+        valid = np.ones(n, np.float32)
+        s, i = topk_matmul(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k, block_n=512)
+        got = np.asarray(i)[0][:3]
+        np.testing.assert_array_equal(got, [5, 300, 700])
+        s2, i2 = topk_matmul_reference(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k, chunk=512)
+        np.testing.assert_array_equal(np.asarray(i2)[0][:3], [5, 300, 700])
+
+    def test_bf16_corpus(self, rng):
+        nq, n, d, k = 3, 1024, 384, 10
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        valid = np.ones(n, np.float32)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        s, i = topk_matmul(jnp.asarray(q), xb, jnp.asarray(valid), k)
+        # recall vs f32 oracle should be near-perfect at this scale
+        _, ref_i = _np_topk(q, np.asarray(xb, np.float32), valid, k)
+        recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(np.asarray(i), ref_i)])
+        assert recall >= 0.9
+
+    def test_all_invalid_rows_give_negative(self):
+        d, n, k = 128, 512, 5
+        q = np.ones((1, d), np.float32)
+        x = np.ones((n, d), np.float32)
+        valid = np.zeros(n, np.float32)
+        s, i = topk_matmul(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k, block_n=512)
+        assert np.all(np.asarray(s) < -100.0)
+
+
+class TestBucketedTopk:
+    def test_exact_when_corpus_fits_buckets(self, rng):
+        """N <= nbuckets means every column has its own bucket: exact."""
+        nq, n, d, k = 5, 2048, 384, 24
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        valid = np.ones(n, np.float32)
+        valid[100:200] = 0.0
+        ref_s, ref_i = _np_topk(q, x, valid, k)
+        s, i = bucketed_topk(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k,
+                             nbuckets=2048, block_n=1024, block_q=8)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
+
+    def test_high_recall_when_bucketed(self, rng):
+        """N > nbuckets: recall ~ 1 - k(k-1)/(2L)."""
+        nq, n, d, k, L = 8, 8192, 128, 10, 2048
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        valid = np.ones(n, np.float32)
+        ref_s, ref_i = _np_topk(q, x, valid, k)
+        s, i = bucketed_topk(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k,
+                             nbuckets=L, block_n=1024, block_q=8)
+        recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(np.asarray(i), ref_i)])
+        assert recall >= 0.95, recall
+
+
+class TestFlashAttention:
+    def _ref_attention(self, q, k, v, bias, num_heads):
+        b, s, h = q.shape
+        d = h // num_heads
+        qh = q.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+        scores = np.einsum("bnqd,bnkd->bnqk", qh, kh) / np.sqrt(d)
+        scores = scores + bias
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        out = np.einsum("bnqk,bnkd->bnqd", p, vh)
+        return out.transpose(0, 2, 1, 3).reshape(b, s, h)
+
+    def test_matches_reference(self, rng):
+        b, s, h, nh = 2, 64, 384, 12
+        q = rng.standard_normal((b, s, h)).astype(np.float32)
+        k = rng.standard_normal((b, s, h)).astype(np.float32)
+        v = rng.standard_normal((b, s, h)).astype(np.float32)
+        mask = np.ones((b, s), np.int32)
+        mask[0, 40:] = 0
+        bias = np.where(mask[:, None, None, :] > 0, 0.0, -1e9).astype(np.float32)
+
+        out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                         jnp.asarray(bias), num_heads=nh))
+        ref = self._ref_attention(q, k, v, bias, nh)
+        # padded key positions masked; compare only valid query rows
+        np.testing.assert_allclose(out[0, :40], ref[0, :40], atol=2e-5)
+        np.testing.assert_allclose(out[1], ref[1], atol=2e-5)
+
+    def test_model_integration(self, rng):
+        """bert_forward with attention_impl='pallas' equals 'xla'."""
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import bert_forward, random_params
+
+        cfg = ModelConfig(name="tiny", hidden_size=128, num_layers=2, num_heads=4,
+                          intermediate_size=256, vocab_size=200, max_position=64)
+        params = random_params(cfg, seed=0)
+        ids = rng.integers(1, 200, size=(2, 48)).astype(np.int32)
+        mask = np.ones((2, 48), np.int32)
+        mask[1, 30:] = 0
+        a = np.asarray(bert_forward(params, jnp.asarray(ids), jnp.asarray(mask), config=cfg, attention_impl="xla"))
+        b = np.asarray(bert_forward(params, jnp.asarray(ids), jnp.asarray(mask), config=cfg, attention_impl="pallas"))
+        m = mask.astype(bool)
+        np.testing.assert_allclose(a[m], b[m], atol=3e-5)
