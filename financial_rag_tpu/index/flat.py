@@ -1,0 +1,208 @@
+"""HBM-resident flat cosine index.
+
+TPU-native replacement for the reference's Chroma/hnswlib child vector store
+(reference chroma_child_store.py:36-80, API: upsert_children / search /
+count). Design:
+
+- vectors live on-device as one preallocated [capacity, D] bf16 matrix plus
+  a [capacity] validity mask; search is a single fused Pallas sweep
+  (ops/topk.py) so no ANN graph, no host round-trips, exact-or-near-exact
+  results at memory speed-of-light;
+- ids are host-side: slot -> child_id array and child_id -> slot dict
+  (payload metadata lives in store/child_meta.py, not in the index);
+- upserts buffer on host and flush to the device in one scatter, doubling
+  capacity as needed (capacity stays a multiple of the kernel tile so
+  shapes are static and compiles are cached);
+- persistence is an .npz of vectors + ids with a JSON manifest
+  (SURVEY.md §5.4 'index manifest + shard checkpoints').
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from financial_rag_tpu.ops.common import round_up
+from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul, topk_matmul_reference
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("index.flat")
+
+TILE = 1024  # kernel corpus tile; capacity is always a multiple
+
+
+class FlatIndex:
+    """Exact / near-exact cosine top-k over an HBM-resident corpus."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        capacity: int = 1 << 14,
+        *,
+        dtype=jnp.bfloat16,
+        backend: str = "auto",   # auto | pallas_bucketed | pallas_exact | xla
+        nbuckets: int = 4096,
+        name: str = "children",
+    ) -> None:
+        self.dim = dim
+        self.capacity = round_up(capacity, TILE)
+        self.dtype = dtype
+        self.name = name
+        self.nbuckets = nbuckets
+        if backend == "auto":
+            backend = "pallas_bucketed" if jax.default_backend() == "tpu" else "xla"
+        self.backend = backend
+
+        self._vectors = jnp.zeros((self.capacity, dim), dtype)
+        self._valid = jnp.zeros((self.capacity,), jnp.float32)
+        self._ids = np.zeros((self.capacity,), np.int64)
+        self._slot_of: Dict[int, int] = {}
+        self._next_slot = 0
+        self._lock = threading.Lock()
+        self._search_fns: Dict[Tuple, object] = {}
+
+    # ------------------------------------------------------------------ API
+
+    def __len__(self) -> int:
+        return len(self._slot_of)
+
+    def count(self) -> int:
+        return len(self._slot_of)
+
+    def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+        """Insert or overwrite vectors. ids: int64 child ids, vectors [N, D]
+        (L2-normalized by the encoder; normalized again here defensively)."""
+        vectors = np.asarray(vectors, np.float32)
+        assert vectors.ndim == 2 and vectors.shape[1] == self.dim, vectors.shape
+        assert len(ids) == vectors.shape[0]
+        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+        vectors = vectors / np.maximum(norms, 1e-12)
+
+        with self._lock:
+            slots = np.empty(len(ids), np.int32)
+            for j, cid in enumerate(ids):
+                cid = int(cid)
+                slot = self._slot_of.get(cid)
+                if slot is None:
+                    slot = self._next_slot
+                    self._next_slot += 1
+                    if slot >= self.capacity:
+                        self._grow()
+                    self._slot_of[cid] = slot
+                    self._ids[slot] = cid
+                slots[j] = slot
+            self._scatter(slots, vectors, valid=1.0)
+
+    def delete(self, ids: Sequence[int]) -> int:
+        """Invalidate ids; returns number removed. Slots are not reused
+        (tombstoned) until a rebuild/compact."""
+        with self._lock:
+            slots = []
+            for cid in ids:
+                slot = self._slot_of.pop(int(cid), None)
+                if slot is not None:
+                    slots.append(slot)
+                    self._ids[slot] = 0
+            if slots:
+                slots_a = np.asarray(slots, np.int32)
+                self._valid = self._valid.at[slots_a].set(0.0)
+            return len(slots)
+
+    def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched search. queries [B, D] -> (child_ids [B, k] int64,
+        scores [B, k] f32). Empty slots never surface (score < -100 filtered
+        to id 0 / score -inf)."""
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b = queries.shape[0]
+        if not self._slot_of:
+            return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
+
+        scores, slots = self._dispatch(jnp.asarray(queries), top_k)
+        scores = np.array(scores)
+        slots = np.array(slots)
+        ids = np.where(slots >= 0, self._ids[np.maximum(slots, 0)], 0)
+        bad = scores < -100.0
+        ids[bad] = 0
+        scores[bad] = -np.inf
+        return ids.astype(np.int64), scores
+
+    # ------------------------------------------------------------ internals
+
+    def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
+        slots_d = jnp.asarray(slots)
+        self._vectors = self._vectors.at[slots_d].set(jnp.asarray(vectors, self.dtype))
+        self._valid = self._valid.at[slots_d].set(valid)
+
+    def _grow(self) -> None:
+        new_cap = self.capacity * 2
+        log.info("growing index %s: %d -> %d slots", self.name, self.capacity, new_cap)
+        self._vectors = jnp.concatenate(
+            [self._vectors, jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)])
+        self._valid = jnp.concatenate(
+            [self._valid, jnp.zeros((new_cap - self.capacity,), jnp.float32)])
+        self._ids = np.concatenate([self._ids, np.zeros(new_cap - self.capacity, np.int64)])
+        self.capacity = new_cap
+        self._search_fns.clear()
+
+    def _dispatch(self, queries: jnp.ndarray, k: int):
+        key = (self.backend, self.capacity, k)
+        fn = self._search_fns.get(key)
+        if fn is None:
+            if self.backend == "pallas_bucketed":
+                raw = partial(bucketed_topk, k=k, nbuckets=self.nbuckets, interpret=False)
+            elif self.backend == "pallas_exact":
+                raw = partial(topk_matmul, k=k, interpret=False)
+            elif self.backend == "xla":
+                raw = partial(topk_matmul_reference, k=k)
+            else:
+                raise ValueError(f"unknown backend {self.backend}")
+            fn = jax.jit(lambda q, x, v: raw(q, x, v))
+            self._search_fns[key] = fn
+        return fn(queries, self._vectors, self._valid)
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, directory: str | Path) -> None:
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        used = self._next_slot
+        np.savez_compressed(
+            d / f"{self.name}.npz",
+            vectors=np.asarray(self._vectors[:used], np.float32),
+            valid=np.asarray(self._valid[:used]),
+            ids=self._ids[:used],
+        )
+        manifest = {
+            "name": self.name,
+            "dim": self.dim,
+            "count": self.count(),
+            "used_slots": used,
+            "backend": self.backend,
+            "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__") else self.dtype),
+        }
+        (d / f"{self.name}.manifest.json").write_text(json.dumps(manifest, indent=2))
+
+    @classmethod
+    def load(cls, directory: str | Path, name: str = "children", **kwargs) -> "FlatIndex":
+        d = Path(directory)
+        data = np.load(d / f"{name}.npz")
+        vectors, valid, ids = data["vectors"], data["valid"], data["ids"]
+        used = vectors.shape[0]
+        idx = cls(dim=vectors.shape[1] if used else kwargs.pop("dim", 384),
+                  capacity=max(used, TILE), name=name, **kwargs)
+        if used:
+            idx._vectors = idx._vectors.at[:used].set(jnp.asarray(vectors, idx.dtype))
+            idx._valid = idx._valid.at[:used].set(jnp.asarray(valid))
+            idx._ids[:used] = ids
+            idx._next_slot = used
+            idx._slot_of = {int(cid): s for s, cid in enumerate(ids) if valid[s] > 0}
+        return idx

@@ -1,0 +1,96 @@
+"""Host-side child metadata store.
+
+The reference keeps child payloads (parent_id, snippet text, optional LLM
+context) inside Chroma point metadata (reference chroma_child_store.py:43-48).
+Here the device index stores only vectors; payloads live in SQLite keyed by
+child_id, plus document info used by the pre-rerank filters
+(reference rag_backend.py:870-1042 uses parent document ext/mtime).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence
+
+
+class ChildMetaStore:
+    def __init__(self, db_path: str | Path = "children_meta.db") -> None:
+        self.db_path = str(db_path)
+        self._local = threading.local()
+        with self._conn() as c:
+            c.execute(
+                """CREATE TABLE IF NOT EXISTS children (
+                       child_id INTEGER PRIMARY KEY,
+                       parent_id INTEGER NOT NULL,
+                       document_id TEXT NOT NULL,
+                       snippet TEXT NOT NULL,
+                       context TEXT,
+                       source_path TEXT,
+                       source_mtime REAL
+                   )"""
+            )
+            c.execute("CREATE INDEX IF NOT EXISTS idx_children_parent ON children(parent_id)")
+            c.execute("CREATE INDEX IF NOT EXISTS idx_children_doc ON children(document_id)")
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.db_path)
+            conn.execute("PRAGMA journal_mode=WAL")
+            self._local.conn = conn
+        return conn
+
+    def upsert_children(self, children: Iterable[dict]) -> int:
+        rows = [
+            (int(ch["child_id"]), int(ch["parent_id"]), str(ch["document_id"]),
+             ch["snippet"], ch.get("context"), ch.get("source_path"), ch.get("source_mtime"))
+            for ch in children
+        ]
+        with self._conn() as c:
+            c.executemany(
+                """INSERT INTO children(child_id, parent_id, document_id, snippet,
+                                        context, source_path, source_mtime)
+                   VALUES (?,?,?,?,?,?,?)
+                   ON CONFLICT(child_id) DO UPDATE SET
+                     parent_id=excluded.parent_id,
+                     document_id=excluded.document_id,
+                     snippet=excluded.snippet,
+                     context=excluded.context,
+                     source_path=excluded.source_path,
+                     source_mtime=excluded.source_mtime""",
+                rows,
+            )
+        return len(rows)
+
+    def get_children(self, child_ids: Sequence[int]) -> Dict[int, dict]:
+        if not child_ids:
+            return {}
+        uniq = list(dict.fromkeys(int(c) for c in child_ids))
+        out: Dict[int, dict] = {}
+        # chunk the IN clause to stay under SQLite's variable limit
+        for lo in range(0, len(uniq), 500):
+            batch = uniq[lo: lo + 500]
+            marks = ",".join("?" * len(batch))
+            cur = self._conn().execute(
+                f"SELECT child_id, parent_id, document_id, snippet, context, "
+                f"source_path, source_mtime FROM children WHERE child_id IN ({marks})", batch)
+            for cid, pid, doc, snippet, context, path, mtime in cur.fetchall():
+                out[cid] = {"child_id": cid, "parent_id": pid, "document_id": doc,
+                            "snippet": snippet, "context": context,
+                            "source_path": path, "source_mtime": mtime}
+        return out
+
+    def children_of_document(self, document_id: str) -> List[int]:
+        cur = self._conn().execute(
+            "SELECT child_id FROM children WHERE document_id=?", (document_id,))
+        return [r[0] for r in cur.fetchall()]
+
+    def delete_document(self, document_id: str) -> int:
+        with self._conn() as c:
+            cur = c.execute("DELETE FROM children WHERE document_id=?", (document_id,))
+            return cur.rowcount
+
+    def count(self) -> int:
+        return self._conn().execute("SELECT COUNT(*) FROM children").fetchone()[0]
