@@ -24,7 +24,7 @@ class TestFlatIndex:
         d, n, k = 384, 3000, 10
         x = _unit(rng, n, d)
         ids = np.arange(1000, 1000 + n, dtype=np.int64)
-        idx = FlatIndex(dim=d, capacity=1024)  # forces growth
+        idx = FlatIndex(dim=d, capacity=1024, dtype=np.float32)  # forces growth
         idx.upsert(ids, x)
         assert idx.count() == n
 
@@ -32,7 +32,22 @@ class TestFlatIndex:
         got_ids, got_scores = idx.search(q, k)
         order, ref_scores = _oracle(q, x, k)
         np.testing.assert_array_equal(got_ids, ids[order])
-        np.testing.assert_allclose(got_scores, ref_scores, atol=1e-2)  # bf16 storage
+        np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5)
+
+    def test_bf16_storage_recall(self):
+        rng = np.random.default_rng(42)
+        d, n, k = 384, 3000, 10
+        x = _unit(rng, n, d)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx = FlatIndex(dim=d, capacity=4096)  # default bf16 storage
+        idx.upsert(ids, x)
+        q = _unit(rng, 8, d)
+        got_ids, _ = idx.search(q, k)
+        order, _ = _oracle(q, x, k)
+        ref = ids[order]
+        recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                          for a, b in zip(got_ids, ref)])
+        assert recall >= 0.95, recall
 
     def test_overwrite_same_id(self, rng):
         d = 128
