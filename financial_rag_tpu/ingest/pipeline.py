@@ -1,0 +1,175 @@
+"""Streaming ingestion pipeline: Marker JSON -> parents/children -> batched
+device encode -> per-model index upsert.
+
+Capability of reference parent_child/pipeline.py:31-223, redesigned for TPU:
+the reference embeds children model-after-model in one unbatched call per
+model; here all child texts of a document are tokenized once and encoded in
+large fixed-shape device batches per encoder, then upserted into that
+encoder's index collection (children_<slug>, mirroring the reference's
+per-model Chroma collections pipeline.py:116-136). Per-child LLM context is
+optional and best-effort.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from financial_rag_tpu.config import ChunkingConfig
+from financial_rag_tpu.index.flat import FlatIndex
+from financial_rag_tpu.ingest.chunker import ChildChunk, ParentChildChunker, ParentChunk
+from financial_rag_tpu.ingest.marker_json import parse_marker_json
+from financial_rag_tpu.llm.provider import LLMProvider, NullLLM, chunk_context
+from financial_rag_tpu.models.encoder import DualEncoder
+from financial_rag_tpu.store import ChildMetaStore, ParentStore
+from financial_rag_tpu.utils import get_logger, time_block
+
+log = get_logger("ingest.pipeline")
+
+
+def collection_slug(model_name: str) -> str:
+    """children_<slug> collection naming (reference pipeline.py:116-119)."""
+    return "children_" + re.sub(r"[^a-z0-9]+", "_", model_name.lower()).strip("_")
+
+
+class IngestionPipeline:
+    def __init__(
+        self,
+        dual_encoder: DualEncoder,
+        parent_store: ParentStore,
+        child_meta: ChildMetaStore,
+        indexes: Dict[str, FlatIndex],       # model name -> index
+        *,
+        chunker: Optional[ParentChildChunker] = None,
+        llm: Optional[LLMProvider] = None,
+        chunk_logs_dir: Optional[str] = None,
+        chunk_context_enabled: bool = False,
+    ) -> None:
+        assert set(indexes) == set(dual_encoder.names), \
+            f"indexes {set(indexes)} must match encoders {set(dual_encoder.names)}"
+        self.dual_encoder = dual_encoder
+        self.parent_store = parent_store
+        self.child_meta = child_meta
+        self.indexes = indexes
+        self.chunker = chunker or ParentChildChunker()
+        self.llm = llm or NullLLM()
+        self.chunk_logs_dir = Path(chunk_logs_dir) if chunk_logs_dir else None
+        self.chunk_context_enabled = chunk_context_enabled
+
+    # ------------------------------------------------------------- ingest
+
+    def ingest_extracted_json(
+        self,
+        json_path: str | Path,
+        document_id: str,
+        *,
+        source_path: Optional[str] = None,
+        source_mtime: Optional[float] = None,
+    ) -> dict:
+        t0 = time.perf_counter()
+        json_path = Path(json_path)
+        blocks = parse_marker_json(json_path)
+        parents, children = self.chunker.chunk(blocks, document_id)
+        if not parents:
+            log.warning("document %s produced no content", document_id)
+            return {"document_id": document_id, "parents": 0, "children": 0}
+
+        self.parent_store.upsert_parents([
+            {"parent_id": p.parent_id, "document_id": p.document_id,
+             "page_start": p.page_start, "page_end": p.page_end, "content": p.content}
+            for p in parents
+        ])
+
+        if self.chunk_context_enabled and self.llm.available():
+            parent_by_id = {p.parent_id: p for p in parents}
+            for ch in children:
+                ctx = chunk_context(self.llm, parent_by_id[ch.parent_id].content, ch.content)
+                if ctx:
+                    ch.context = ctx
+
+        self.child_meta.upsert_children([
+            {"child_id": ch.child_id, "parent_id": ch.parent_id,
+             "document_id": document_id, "snippet": ch.content, "context": ch.context,
+             "source_path": source_path, "source_mtime": source_mtime}
+            for ch in children
+        ])
+
+        # batched dual-encoder embedding: context-augmented text is what gets
+        # embedded when a context exists (contextual retrieval)
+        texts = [f"{ch.context}\n{ch.content}" if ch.context else ch.content for ch in children]
+        ids = np.asarray([ch.child_id for ch in children], np.int64)
+        with time_block("ingest.encode"):
+            per_model = self.dual_encoder.encode_all(texts)
+        for name, vecs in per_model.items():
+            with time_block("ingest.index_upsert"):
+                self.indexes[name].upsert(ids, vecs)
+
+        stats = {
+            "document_id": document_id,
+            "source_json": str(json_path),
+            "parents": len(parents),
+            "children": len(children),
+            "parent_tokens": [p.token_count for p in parents],
+            "child_tokens": [ch.token_count for ch in children],
+            "collections": {name: collection_slug(name) for name in self.indexes},
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+        }
+        self._write_chunk_log(document_id, parents, children, stats)
+        log.info("ingested %s: %d parents, %d children in %.2fs",
+                 document_id, len(parents), len(children), stats["elapsed_s"])
+        return stats
+
+    def ingest_directory(self, directory: str | Path) -> List[dict]:
+        """Recursively ingest every extraction JSON (skipping *_meta.json,
+        reference pipeline.py:203-223); per-file failures are logged and
+        skipped."""
+        directory = Path(directory)
+        results = []
+        for path in sorted(directory.rglob("*.json")):
+            if path.name.endswith("_meta.json"):
+                continue
+            doc_id = path.stem
+            try:
+                results.append(self.ingest_extracted_json(path, doc_id))
+            except Exception as e:  # noqa: BLE001 — ingest must keep going
+                log.error("failed to ingest %s: %s", path, e)
+                results.append({"document_id": doc_id, "error": str(e)})
+        return results
+
+    def remove_document(self, document_id: str) -> dict:
+        """Delete a document's parents, children and vectors (re-ingest /
+        cleanup semantics, reference api_server.py:242-278)."""
+        child_ids = self.child_meta.children_of_document(document_id)
+        removed = {name: idx.delete(child_ids) for name, idx in self.indexes.items()}
+        self.child_meta.delete_document(document_id)
+        parents_removed = self.parent_store.delete_document(document_id)
+        return {"document_id": document_id, "parents_removed": parents_removed,
+                "children_removed": len(child_ids), "vectors_removed": removed}
+
+    # ------------------------------------------------------------ logging
+
+    def _write_chunk_log(self, document_id: str, parents: List[ParentChunk],
+                         children: List[ChildChunk], stats: dict) -> None:
+        if self.chunk_logs_dir is None:
+            return
+        self.chunk_logs_dir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            **stats,
+            "parents_detail": [
+                {"parent_id": p.parent_id, "pages": [p.page_start, p.page_end],
+                 "tokens": p.token_count, "content": p.content}
+                for p in parents
+            ],
+            "children_detail": [
+                {"child_id": ch.child_id, "parent_id": ch.parent_id,
+                 "tokens": ch.token_count, "context": ch.context, "content": ch.content}
+                for ch in children
+            ],
+        }
+        out = self.chunk_logs_dir / f"{document_id}_parent_child_chunks.json"
+        out.write_text(json.dumps(payload, indent=2, default=str))

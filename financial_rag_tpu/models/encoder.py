@@ -1,0 +1,167 @@
+"""Batched sentence-encoder service.
+
+Replaces the reference's LocalEmbedder/SentenceTransformerWrapper pair
+(reference local_embedder.py:155-275) — which encodes one text at a time on
+CPU torch — with an XLA-shaped service:
+
+- texts are tokenized host-side (exact WordPiece), bucketed by sequence
+  length to {64, 128, 256, 512} and padded to a fixed batch size, so the
+  whole deployment compiles a small, fixed set of programs (compiles are
+  cached persistently across processes);
+- each program is one jitted encoder-stack forward + fused pool/normalize
+  on [B, S] int32 batches, bf16 compute on TPU;
+- `encode()` accepts any number of texts and returns [N, D] float32 unit
+  vectors in input order.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from financial_rag_tpu.config import ModelConfig
+from financial_rag_tpu.models.bert import bert_encode
+from financial_rag_tpu.models.checkpoint import load_params
+from financial_rag_tpu.tokenizer import WordPieceTokenizer
+from financial_rag_tpu.utils import get_logger, time_block
+
+log = get_logger("models.encoder")
+
+SEQ_BUCKETS = (64, 128, 256, 512)
+
+
+def setup_compilation_cache(path: str = None) -> None:
+    """Enable JAX's persistent compilation cache (TPU compiles via the
+    tunnel take minutes; this makes them one-time)."""
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  os.path.expanduser("~/.cache/jax_compilation"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+class Encoder:
+    """One checkpoint, batched encode to unit vectors."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        *,
+        pooling: str = "mean",
+        batch_size: int = 128,
+        max_seq_len: int = 512,
+        compute_dtype=None,
+        attention_impl: Optional[str] = None,
+        use_pallas_pool: Optional[bool] = None,
+    ) -> None:
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer or WordPieceTokenizer()
+        self.pooling = pooling
+        self.batch_size = batch_size
+        self.max_seq_len = max_seq_len
+        on_tpu = jax.default_backend() == "tpu"
+        self.compute_dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
+        self.attention_impl = attention_impl or "xla"
+        self.use_pallas_pool = on_tpu if use_pallas_pool is None else use_pallas_pool
+        self._fns: Dict[int, object] = {}
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, *, pooling: str, fallback_seed: Optional[int] = None,
+                        **kwargs) -> "Encoder":
+        params, config = load_params(model_dir, fallback_seed=fallback_seed)
+        tok = WordPieceTokenizer(vocab_path=os.path.join(model_dir, "vocab.txt")
+                                 if os.path.exists(os.path.join(model_dir, "vocab.txt")) else None)
+        return cls(config, params, tok, pooling=pooling, **kwargs)
+
+    @property
+    def dim(self) -> int:
+        return self.config.hidden_size
+
+    def _fn(self, seq_len: int):
+        fn = self._fns.get(seq_len)
+        if fn is None:
+            fn = jax.jit(partial(
+                bert_encode,
+                config=self.config,
+                pooling=self.pooling,
+                compute_dtype=self.compute_dtype,
+                attention_impl=self.attention_impl,
+                use_pallas_pool=self.use_pallas_pool,
+            ))
+            self._fns[seq_len] = fn
+        return fn
+
+    def _bucket(self, n_tokens: int) -> int:
+        for b in SEQ_BUCKETS:
+            if n_tokens <= b and b <= self.max_seq_len:
+                return b
+        return self.max_seq_len
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """Encode texts -> [N, dim] float32 unit vectors (input order)."""
+        if not len(texts):
+            return np.zeros((0, self.dim), np.float32)
+
+        with time_block("encoder.tokenize"):
+            seqs = [self.tokenizer.encode(t, max_len=self.max_seq_len) for t in texts]
+        buckets: Dict[int, List[int]] = {}
+        for i, s in enumerate(seqs):
+            buckets.setdefault(self._bucket(len(s)), []).append(i)
+
+        out = np.zeros((len(texts), self.dim), np.float32)
+        pad_id = self.tokenizer.pad_id
+        for seq_len, idxs in sorted(buckets.items()):
+            for lo in range(0, len(idxs), self.batch_size):
+                batch_idx = idxs[lo: lo + self.batch_size]
+                n = len(batch_idx)
+                ids = np.full((self.batch_size, seq_len), pad_id, np.int32)
+                mask = np.zeros((self.batch_size, seq_len), np.int32)
+                for r, i in enumerate(batch_idx):
+                    s = seqs[i][:seq_len]
+                    ids[r, : len(s)] = s
+                    mask[r, : len(s)] = 1
+                # pad rows must be non-empty for the masked ops; mark 1 token
+                mask[n:, 0] = 1
+                with time_block(f"encoder.forward_s{seq_len}"):
+                    emb = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask))
+                out[batch_idx] = np.asarray(emb[:n], np.float32)
+        return out
+
+    def encode_one(self, text: str) -> np.ndarray:
+        return self.encode([text])[0]
+
+
+class DualEncoder:
+    """The BAAI + GTE ensemble (reference retriever.py:26-57): two encoders
+    sharing one tokenizer/vocab, each feeding its own index collection, plus
+    the dormant fused single-vector mode (0.6/0.4 — reference
+    chunker.py:252-260)."""
+
+    def __init__(self, encoders: Dict[str, Encoder], fused_weights: Tuple[float, ...] = (0.6, 0.4)):
+        assert encoders, "at least one encoder required"
+        self.encoders = encoders
+        self.fused_weights = fused_weights
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.encoders.keys())
+
+    def encode_all(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Per-model embeddings: {model_name: [N, D]}."""
+        return {name: enc.encode(texts) for name, enc in self.encoders.items()}
+
+    def encode_fused(self, texts: Sequence[str]) -> np.ndarray:
+        """Weighted-sum single vector, re-normalized."""
+        per = self.encode_all(texts)
+        acc = None
+        for w, name in zip(self.fused_weights, self.names):
+            acc = w * per[name] if acc is None else acc + w * per[name]
+        return acc / np.maximum(np.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
