@@ -1,0 +1,139 @@
+"""Hybrid child retrieval: multi-query x dual-encoder dense + BM25 sparse.
+
+The reference's hot loop runs 6 sequential encode+HNSW searches per request
+(reference rag_backend.py:674-714); here the 3 query variants are encoded
+as ONE batch per encoder and searched as ONE fused device sweep per index,
+then fused exactly like the reference (rag_backend.py:722-795):
+
+  dense  = RRF(k=60) or min-max-avg over the (query x encoder) ranked lists
+  sparse = BM25Okapi over candidate snippets(+contexts), max over queries
+  final  = dense + sparse / n_candidates ; top max_children
+
+Also reproduces the inline hit@k diagnostic (rag_backend.py:800-819).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from financial_rag_tpu.config import FusionConfig, RetrievalConfig
+from financial_rag_tpu.index.flat import FlatIndex
+from financial_rag_tpu.llm.provider import LLMProvider, NullLLM, normalize_query
+from financial_rag_tpu.models.encoder import DualEncoder
+from financial_rag_tpu.retrieval.bm25 import BM25
+from financial_rag_tpu.retrieval.fusion import minmax_avg_fuse, rrf_fuse
+from financial_rag_tpu.store import ChildMetaStore
+from financial_rag_tpu.utils import get_logger, time_block
+
+log = get_logger("retrieval.hybrid")
+
+
+class HybridRetriever:
+    def __init__(
+        self,
+        dual_encoder: DualEncoder,
+        indexes: Dict[str, FlatIndex],
+        child_meta: ChildMetaStore,
+        *,
+        fusion_cfg: Optional[FusionConfig] = None,
+        retrieval_cfg: Optional[RetrievalConfig] = None,
+        llm: Optional[LLMProvider] = None,
+    ) -> None:
+        self.dual_encoder = dual_encoder
+        self.indexes = indexes
+        self.child_meta = child_meta
+        self.fusion_cfg = fusion_cfg or FusionConfig()
+        self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
+        self.llm = llm or NullLLM()
+
+    def retrieve_children(
+        self,
+        question: str,
+        max_children: Optional[int] = None,
+    ) -> Tuple[List[dict], Dict[int, int], List[str]]:
+        """Returns (child_chunks sorted by hybrid score, child->parent map,
+        query variants used)."""
+        max_children = max_children or self.fusion_cfg.candidates
+        queries = normalize_query(self.llm, question)
+
+        # ---- dense: batch the query variants per encoder, one sweep per index
+        with time_block("hybrid.encode"):
+            per_model_vecs = self.dual_encoder.encode_all(queries)
+
+        ranked_lists: List[List[Tuple[int, float]]] = []
+        for name, vecs in per_model_vecs.items():
+            with time_block("hybrid.search"):
+                ids, scores = self.indexes[name].search(vecs, self.fusion_cfg.per_query_k)
+            for qi in range(len(queries)):
+                lst = [(int(c), float(s)) for c, s in zip(ids[qi], scores[qi]) if c != 0]
+                ranked_lists.append(lst)
+
+        if self.fusion_cfg.method == "rrf":
+            combined_dense = rrf_fuse([[c for c, _ in lst] for lst in ranked_lists],
+                                      k=self.fusion_cfg.rrf_k)
+        else:
+            combined_dense = minmax_avg_fuse(ranked_lists)
+
+        # ---- candidate texts from child metadata
+        candidate_ids = list(combined_dense.keys())
+        metas = self.child_meta.get_children(candidate_ids)
+        child_docs: Dict[int, str] = {}
+        child_parent: Dict[int, int] = {}
+        for cid in candidate_ids:
+            m = metas.get(cid)
+            if not m:
+                continue
+            text = m["snippet"]
+            if m.get("context"):
+                text = f"{text}\n{m['context']}".strip()
+            child_docs[cid] = text
+            child_parent[cid] = m["parent_id"]
+
+        # ---- sparse: BM25 over candidates, max over query variants
+        corpus_ids = list(child_docs.keys())
+        bm25_scores: Dict[int, float] = {}
+        if corpus_ids:
+            with time_block("hybrid.bm25"):
+                bm25 = BM25([child_docs[c].split() for c in corpus_ids])
+                for q in queries:
+                    scores = bm25.get_scores(q.split())
+                    for cid, s in zip(corpus_ids, scores):
+                        bm25_scores[cid] = max(bm25_scores.get(cid, 0.0), float(s))
+
+        # ---- merge (reference rag_backend.py:791-795)
+        n_corpus = len(corpus_ids) or 1
+        merged = {
+            cid: dense + bm25_scores.get(cid, 0.0) / n_corpus
+            for cid, dense in combined_dense.items()
+            if cid in child_docs
+        }
+        ranked = sorted(merged.items(), key=lambda kv: kv[1], reverse=True)[:max_children]
+
+        self._hitk_diagnostic(ranked, child_docs)
+
+        child_chunks = [
+            {
+                "chunk_id": f"child_{cid}",
+                "child_id": cid,
+                "chunk_text": child_docs[cid],
+                "text": child_docs[cid],
+                "retrieval_score": float(score),
+                "retrieval_method": "child_hybrid",
+                "parent_id": child_parent.get(cid),
+                "source_path": metas[cid].get("source_path"),
+                "source_mtime": metas[cid].get("source_mtime"),
+                "document_id": metas[cid].get("document_id"),
+            }
+            for cid, score in ranked
+        ]
+        return child_chunks, child_parent, queries
+
+    def _hitk_diagnostic(self, ranked, child_docs) -> None:
+        expect = (self.retrieval_cfg.hitk_expect_contains or "").strip()
+        if not expect:
+            return
+        k = self.retrieval_cfg.hitk_k
+        hit = any(expect.lower() in child_docs.get(cid, "").lower() for cid, _ in ranked[:k])
+        log.info("[metrics] pre-rerank hit@%d=%s expect=%r", k, "YES" if hit else "NO", expect)

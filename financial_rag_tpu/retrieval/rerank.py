@@ -1,0 +1,175 @@
+"""Cross-encoder reranking.
+
+Capability of reference document_reranker.py:125-304 on TPU: the MiniLM-L-6
+sequence-classification model scores (query, chunk) pairs in one batched
+jitted forward (the reference predicts through CPU torch), then scores get
+the reference's adaptive normalization and the 0.8·cross + 0.2·retrieval
+blend. Also reproduces: the "Aggregation" strategy skip, the
+retrieval-score-sort fallback when no model is available, the
+uniform-score fallback when prediction fails, and the load-time sanity
+self-test that detects non-discriminating or inverted scoring.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from financial_rag_tpu.config import ModelConfig, RerankConfig
+from financial_rag_tpu.models.bert import cross_encoder_forward
+from financial_rag_tpu.models.checkpoint import load_params
+from financial_rag_tpu.tokenizer import WordPieceTokenizer
+from financial_rag_tpu.utils import get_logger, time_block
+
+log = get_logger("retrieval.rerank")
+
+PAIR_BUCKETS = (8, 16, 32, 64, 128)
+SEQ_BUCKETS = (128, 256, 512)
+
+
+class CrossEncoderModel:
+    """Batched jitted (query, text) -> relevance logit scorer."""
+
+    def __init__(self, config: ModelConfig, params,
+                 tokenizer: Optional[WordPieceTokenizer] = None,
+                 max_seq_len: int = 512, compute_dtype=None) -> None:
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer or WordPieceTokenizer()
+        self.max_seq_len = max_seq_len
+        on_tpu = jax.default_backend() == "tpu"
+        self.compute_dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
+        self._fns: Dict[int, object] = {}
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, *, fallback_seed: Optional[int] = None, **kw):
+        params, config = load_params(model_dir, fallback_seed=fallback_seed)
+        if "classifier" not in params:
+            raise ValueError(f"{model_dir} has no classification head")
+        return cls(config, params, **kw)
+
+    def _fn(self, seq_len: int):
+        fn = self._fns.get(seq_len)
+        if fn is None:
+            fn = jax.jit(partial(cross_encoder_forward, config=self.config,
+                                 compute_dtype=self.compute_dtype))
+            self._fns[seq_len] = fn
+        return fn
+
+    def predict(self, pairs: Sequence[Sequence[str]]) -> np.ndarray:
+        """Score pairs -> [N] float32 logits."""
+        if not len(pairs):
+            return np.zeros((0,), np.float32)
+        enc = [self.tokenizer.encode_pair(a, b, max_len=self.max_seq_len) for a, b in pairs]
+        longest = max(len(ids) for ids, _ in enc)
+        seq_len = next((s for s in SEQ_BUCKETS if longest <= s), self.max_seq_len)
+        n = len(enc)
+        npad = next((p for p in PAIR_BUCKETS if n <= p), ((n + 127) // 128) * 128)
+
+        ids = np.full((npad, seq_len), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((npad, seq_len), np.int32)
+        types = np.zeros((npad, seq_len), np.int32)
+        for r, (seq, tt) in enumerate(enc):
+            seq, tt = seq[:seq_len], tt[:seq_len]
+            ids[r, : len(seq)] = seq
+            mask[r, : len(seq)] = 1
+            types[r, : len(tt)] = tt
+        mask[n:, 0] = 1
+        with time_block(f"rerank.forward_s{seq_len}"):
+            logits = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
+        return np.asarray(logits[:n], np.float32)
+
+
+def adaptive_normalize(scores: np.ndarray) -> tuple:
+    """Reference's three-mode normalization (document_reranker.py:253-276).
+    Returns (normalized [N], method_name)."""
+    scores = np.asarray(scores, np.float32)
+    rng = float(scores.max() - scores.min()) if scores.size else 0.0
+    if rng > 0.01:
+        if scores.min() >= 0:
+            return scores / float(scores.max()), "max-normalization"
+        return (scores - scores.min()) / rng, "min-max-normalization"
+    order = np.argsort(-scores, kind="stable")
+    out = np.zeros_like(scores)
+    for rank, idx in enumerate(order):
+        out[idx] = 1.0 - (rank / len(order)) * 0.9
+    return out, "rank-based"
+
+
+class CrossEncoderReranker:
+    def __init__(self, model: Optional[CrossEncoderModel], cfg: Optional[RerankConfig] = None) -> None:
+        self.model = model
+        self.cfg = cfg or RerankConfig()
+        self.healthy = self._sanity_check() if model is not None else False
+
+    def _sanity_check(self) -> bool:
+        """Load-time discrimination test (reference document_reranker.py:80-123):
+        a relevant pair must outscore an irrelevant one."""
+        try:
+            probes = [
+                ("what is the annual rent amount",
+                 "The annual rent for the premises is Rs 42,800 payable monthly."),
+                ("what is the annual rent amount",
+                 "The weather in Paris is mild in spring with occasional rain."),
+                ("who is the supplier on the invoice",
+                 "Supplier: Bhartiya Enterprises, Chakulia, East Singhbhum."),
+                ("who is the supplier on the invoice",
+                 "Football matches last ninety minutes plus stoppage time."),
+            ]
+            scores = self.model.predict(probes)
+            ok = scores[0] > scores[1] and scores[2] > scores[3]
+            spread = float(max(scores) - min(scores))
+            if not ok:
+                log.warning("cross-encoder sanity check FAILED (inverted/flat scoring: %s)", scores)
+            elif spread < 0.05:
+                log.warning("cross-encoder discrimination weak (spread %.4f)", spread)
+            return bool(ok)
+        except Exception as e:  # noqa: BLE001
+            log.warning("cross-encoder sanity check errored: %s", e)
+            return False
+
+    def rerank_chunks(self, query: str, chunks: List[dict], *,
+                      strategy: str = "Specific", top_k: Optional[int] = None) -> List[dict]:
+        """chunks: dicts with 'text'/'chunk_text' + 'retrieval_score'.
+        Returns re-sorted chunks with rerank fields attached."""
+        if not chunks:
+            return chunks
+        if strategy == "Aggregation":
+            # aggregation queries need breadth, not precision ordering
+            return chunks[:top_k] if top_k else chunks
+
+        if self.model is None:
+            ranked = sorted(chunks, key=lambda c: c.get("retrieval_score", 0.0), reverse=True)
+            for c in ranked:
+                c["final_rerank_score"] = float(c.get("retrieval_score", 0.0))
+                c["normalization_method"] = "no-model-retrieval-sort"
+            return ranked[:top_k] if top_k else ranked
+
+        pairs = []
+        for c in chunks[: self.cfg.max_pairs]:
+            text = (c.get("text") or c.get("chunk_text") or "").strip()
+            pairs.append((query.strip(), text))
+        try:
+            raw = self.model.predict(pairs)
+            normalized, method = adaptive_normalize(raw)
+        except Exception as e:  # noqa: BLE001
+            log.error("cross-encoder predict failed: %s", e)
+            raw = np.zeros(len(pairs), np.float32)
+            normalized, method = np.full(len(pairs), 0.5, np.float32), "fallback-uniform"
+
+        for c, r, nrm in zip(chunks, raw, normalized):
+            c["cross_encoder_score_raw"] = float(r)
+            c["cross_encoder_score"] = float(nrm)
+            retrieval = float(c.get("combined_score", c.get("retrieval_score", 0.0)))
+            c["final_rerank_score"] = float(nrm * self.cfg.cross_weight + retrieval * self.cfg.retrieval_weight)
+            c["normalization_method"] = method
+        for c in chunks[len(pairs):]:
+            c["final_rerank_score"] = float(c.get("retrieval_score", 0.0)) * self.cfg.retrieval_weight
+            c["normalization_method"] = "overflow-unscored"
+
+        ranked = sorted(chunks, key=lambda c: c["final_rerank_score"], reverse=True)
+        return ranked[:top_k] if top_k else ranked
