@@ -266,12 +266,21 @@ class TestHybridRetriever:
         chunks, _, _ = h.retrieve_children("lock-in period months")
         assert chunks and "lock-in" in chunks[0]["text"].lower()
 
-    def test_hitk_diagnostic_logs(self, rag_stack, capfd):
+    def test_hitk_diagnostic_logs(self, rag_stack):
+        import io
+        import logging
+
         pipe, enc, indexes, parent_store, child_meta = rag_stack
         rc = RetrievalConfig()
         rc.hitk_expect_contains = "42,800"
         rc.hitk_k = 10
         h = HybridRetriever(enc, indexes, child_meta, retrieval_cfg=rc)
-        h.retrieve_children("second year rent")
-        out = capfd.readouterr().out
-        assert "hit@10=YES" in out
+        buf = io.StringIO()
+        handler = logging.StreamHandler(buf)
+        logger = logging.getLogger("financial_rag_tpu.retrieval.hybrid")
+        logger.addHandler(handler)
+        try:
+            h.retrieve_children("second year rent")
+        finally:
+            logger.removeHandler(handler)
+        assert "hit@10=YES" in buf.getvalue()
