@@ -1,0 +1,140 @@
+"""Incremental processing ledger.
+
+Capability of reference api_server.py:67-134,339-364: per-source-document
+state (size, mtime, sha256, stage flags) persisted as JSON, with change
+detection driving re-extraction / re-chunking / re-embedding — the
+framework's checkpoint/resume analog (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+@dataclass
+class DocumentState:
+    path: str
+    size: int = 0
+    mtime: float = 0.0
+    sha256: str = ""
+    extracted: bool = False
+    extracted_path: Optional[str] = None
+    chunked: bool = False
+    embedded: bool = False
+    last_processed: Optional[float] = None
+    error: Optional[str] = None
+
+
+def file_sha256(path: str | Path, chunk_size: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(chunk_size)
+            if not block:
+                break
+            h.update(block)
+    return h.hexdigest()
+
+
+class ProcessingLedger:
+    def __init__(self, state_path: str | Path = ".processing_state.json") -> None:
+        self.state_path = Path(state_path)
+        self._lock = threading.Lock()
+        self.states: Dict[str, DocumentState] = {}
+        self.load()
+
+    # --------------------------------------------------------- persistence
+
+    def load(self) -> None:
+        if not self.state_path.exists():
+            return
+        try:
+            raw = json.loads(self.state_path.read_text())
+            self.states = {k: DocumentState(**v) for k, v in raw.items()}
+        except (json.JSONDecodeError, TypeError):
+            self.states = {}
+
+    def save(self) -> None:
+        with self._lock:
+            tmp = self.state_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(
+                {k: dataclasses.asdict(v) for k, v in self.states.items()}, indent=2))
+            tmp.replace(self.state_path)
+
+    # -------------------------------------------------------------- change
+
+    def scan(self, source_dir: str | Path, exts: Optional[set] = None) -> List[str]:
+        """Walk source_dir; returns sorted list of document paths found."""
+        source_dir = Path(source_dir)
+        if not source_dir.is_dir():
+            return []
+        found = []
+        for p in sorted(source_dir.rglob("*")):
+            if not p.is_file():
+                continue
+            if exts and p.suffix.lower() not in exts:
+                continue
+            found.append(str(p))
+        return found
+
+    def has_changed(self, path: str) -> bool:
+        """New file, or size/mtime changed (sha checked only then: cheap-first,
+        reference api_server.py:111-134)."""
+        st = self.states.get(path)
+        p = Path(path)
+        if st is None:
+            return True
+        stat = p.stat()
+        if stat.st_size == st.size and abs(stat.st_mtime - st.mtime) < 1e-6:
+            return False
+        return file_sha256(path) != st.sha256
+
+    def needs_processing(self, path: str) -> bool:
+        st = self.states.get(path)
+        if st is None or self.has_changed(path):
+            return True
+        return not (st.extracted and st.chunked and st.embedded)
+
+    def refresh_entry(self, path: str) -> DocumentState:
+        """(Re)stat + hash a file into a fresh state entry."""
+        stat = Path(path).stat()
+        st = DocumentState(path=path, size=stat.st_size, mtime=stat.st_mtime,
+                           sha256=file_sha256(path))
+        with self._lock:
+            self.states[path] = st
+        return st
+
+    def mark(self, path: str, **updates) -> None:
+        with self._lock:
+            st = self.states.get(path)
+            if st is None:
+                return
+            for k, v in updates.items():
+                setattr(st, k, v)
+            st.last_processed = time.time()
+
+    def remove_missing(self, existing_paths: List[str]) -> List[str]:
+        """Drop ledger entries whose source files disappeared; returns them."""
+        existing = set(existing_paths)
+        with self._lock:
+            gone = [p for p in self.states if p not in existing]
+            for p in gone:
+                del self.states[p]
+        return gone
+
+    def summary(self) -> dict:
+        total = len(self.states)
+        return {
+            "total": total,
+            "extracted": sum(1 for s in self.states.values() if s.extracted),
+            "chunked": sum(1 for s in self.states.values() if s.chunked),
+            "embedded": sum(1 for s in self.states.values() if s.embedded),
+            "errors": sum(1 for s in self.states.values() if s.error),
+        }

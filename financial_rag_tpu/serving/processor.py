@@ -1,0 +1,151 @@
+"""Background auto-ingest document processor.
+
+Capability of reference api_server.py:366-481: a daemon loop that scans the
+source directory, detects new/changed/incomplete documents via the
+processing ledger, cleans up stale versions (vectors + parents + chunk
+logs), extracts, chunks, embeds, and persists state — so restarts resume
+exactly where processing left off (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+from typing import List, Optional
+
+from financial_rag_tpu.ingest.extraction import run_marker
+from financial_rag_tpu.ingest.ledger import ProcessingLedger
+from financial_rag_tpu.ingest.pipeline import IngestionPipeline
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("serving.processor")
+
+SOURCE_EXTS = {".pdf", ".doc", ".docx", ".xls", ".xlsx", ".csv", ".ppt", ".pptx",
+               ".txt", ".md", ".html", ".htm", ".json"}
+
+
+class DocumentProcessor:
+    def __init__(
+        self,
+        pipeline: IngestionPipeline,
+        ledger: ProcessingLedger,
+        *,
+        source_dir: str | Path = "Source_Documents",
+        extracted_dir: str | Path = "extracted",
+        poll_interval_s: float = 30.0,
+    ) -> None:
+        self.pipeline = pipeline
+        self.ledger = ledger
+        self.source_dir = Path(source_dir)
+        self.extracted_dir = Path(extracted_dir)
+        self.poll_interval_s = poll_interval_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._busy = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="document-processor")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.process_all()
+            except Exception:  # noqa: BLE001 — the monitor must survive
+                log.exception("processor sweep failed")
+            self._stop.wait(self.poll_interval_s)
+
+    # ----------------------------------------------------------- processing
+
+    def process_all(self, force_paths: Optional[List[str]] = None) -> dict:
+        """One sweep. force_paths: reprocess these regardless of state."""
+        self._busy = True
+        try:
+            paths = self.ledger.scan(self.source_dir, exts=SOURCE_EXTS)
+            # purge documents whose sources were deleted
+            for gone in self.ledger.remove_missing(paths):
+                doc_id = Path(gone).stem
+                log.info("source removed, purging document %s", doc_id)
+                self.pipeline.remove_document(doc_id)
+
+            processed, skipped, failed = [], [], []
+            force = set(force_paths or [])
+            for path in paths:
+                try:
+                    if path in force or self.ledger.needs_processing(path):
+                        changed = path in force or self.ledger.has_changed(path)
+                        self._process_one(path, cleanup=changed)
+                        processed.append(path)
+                    else:
+                        skipped.append(path)
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    log.exception("failed to process %s", path)
+                    self.ledger.mark(path, error=str(e))
+                    failed.append(path)
+            self.ledger.save()
+            return {"processed": processed, "skipped": skipped, "failed": failed}
+        finally:
+            self._busy = False
+
+    def _process_one(self, path: str, cleanup: bool) -> None:
+        doc_id = Path(path).stem
+        if cleanup and path in self.ledger.states:
+            log.info("document %s changed; cleaning old artifacts", doc_id)
+            self.pipeline.remove_document(doc_id)
+        st = self.ledger.refresh_entry(path)
+
+        extracted = run_marker(path, self.extracted_dir / doc_id)
+        self.ledger.mark(path, extracted=True, extracted_path=str(extracted), error=None)
+
+        stats = self.pipeline.ingest_extracted_json(
+            extracted, doc_id,
+            source_path=path, source_mtime=st.mtime)
+        self.ledger.mark(path, chunked=True,
+                         embedded="error" not in stats, error=stats.get("error"))
+
+    # ---------------------------------------------------------------- admin
+
+    def status(self) -> dict:
+        docs = {
+            p: {
+                "extracted": s.extracted,
+                "chunked": s.chunked,
+                "embedded": s.embedded,
+                "error": s.error,
+                "last_processed": s.last_processed,
+            }
+            for p, s in self.ledger.states.items()
+        }
+        return {
+            "running": self.running,
+            "busy": self._busy,
+            "summary": self.ledger.summary(),
+            "documents": docs,
+        }
+
+    def cleanup_orphans(self) -> dict:
+        """Delete extraction outputs whose source no longer exists
+        (reference api_server.py:1293-1334)."""
+        removed = []
+        if self.extracted_dir.is_dir():
+            live = {Path(p).stem for p in self.ledger.scan(self.source_dir, exts=SOURCE_EXTS)}
+            for d in self.extracted_dir.iterdir():
+                if d.is_dir() and d.name not in live:
+                    import shutil
+
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(str(d))
+        return {"removed": removed}

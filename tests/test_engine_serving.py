@@ -1,0 +1,274 @@
+"""RAG engine + Flask API contract tests (reference §2.3 endpoints),
+feedback DB, processing ledger, and UI formatting."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from financial_rag_tpu.config import FrameworkConfig
+from financial_rag_tpu.engine import RAGEngine
+from financial_rag_tpu.index import FlatIndex
+from financial_rag_tpu.ingest.ledger import DocumentState, ProcessingLedger, file_sha256
+from financial_rag_tpu.ingest.pipeline import IngestionPipeline, collection_slug
+from financial_rag_tpu.models.encoder import DualEncoder
+from financial_rag_tpu.models.hashing import HashingEncoder
+from financial_rag_tpu.retrieval.hybrid import HybridRetriever
+from financial_rag_tpu.retrieval.rerank import CrossEncoderReranker
+from financial_rag_tpu.serving.app import create_app
+from financial_rag_tpu.serving.formatting import format_ai_response, format_chunks_for_ui
+from financial_rag_tpu.serving.processor import DocumentProcessor
+from financial_rag_tpu.store import ChildMetaStore, ParentStore
+from financial_rag_tpu.store.feedback_db import FeedbackDatabase
+from financial_rag_tpu.utils.tracing import QueryTracer
+
+
+@pytest.fixture
+def stack(tmp_path):
+    enc = DualEncoder({
+        "baai": HashingEncoder(dim=128, salt=1),
+        "gte": HashingEncoder(dim=128, salt=2),
+    })
+    indexes = {n: FlatIndex(dim=128, capacity=1024, name=collection_slug(n)) for n in enc.names}
+    parent_store = ParentStore(tmp_path / "p.db")
+    child_meta = ChildMetaStore(tmp_path / "c.db")
+    pipe = IngestionPipeline(enc, parent_store, child_meta, indexes)
+
+    src = tmp_path / "Source_Documents"
+    src.mkdir()
+    docs = {
+        "lease": "The rent for the second year is Rs 42,800 per month. "
+                 "The lock-in period is 36 months. The lessor is M/s Bhartiya Enterprises. " * 4,
+        "invoice": "Tax Invoice INV-42: total amount Rs 1,18,000. GST amount Rs 18,000 at 18 percent. " * 4,
+    }
+    for doc_id, text in docs.items():
+        f = src / f"{doc_id}.json"
+        f.write_text(json.dumps({"blocks": [{"content": text, "page": 0}]}))
+        pipe.ingest_extracted_json(f, doc_id, source_path=str(f),
+                                   source_mtime=f.stat().st_mtime)
+
+    hybrid = HybridRetriever(enc, indexes, child_meta)
+    fdb = FeedbackDatabase(tmp_path / "fb.db")
+    engine = RAGEngine(hybrid, parent_store, CrossEncoderReranker(None),
+                       feedback_db=fdb, tracer=QueryTracer(tmp_path / "test_logs"))
+    ledger = ProcessingLedger(tmp_path / ".processing_state.json")
+    processor = DocumentProcessor(pipe, ledger, source_dir=src,
+                                  extracted_dir=tmp_path / "extracted")
+    from werkzeug.test import Client
+
+    app = create_app(engine, processor=processor, source_dir=str(src))
+    return engine, Client(app), tmp_path, processor, fdb
+
+
+class TestEngine:
+    def test_query_schema_and_answer_fallback(self, stack):
+        engine, client, tmp_path, processor, fdb = stack
+        out = engine.query("What is the rent for the second year?")
+        assert out["success"]
+        for key in ("answer", "llm_prompt", "corrected_query", "multiqueries", "chunks",
+                    "top_children_chunks", "processing_time", "avg_relevance_score",
+                    "query_strategy", "retrieval_method", "retrieval_info"):
+            assert key in out, key
+        assert "42,800" in out["answer"]  # NullLLM fallback shows context
+        assert out["retrieval_info"]["queries"] == ["What is the rent for the second year?"]
+        # trace artifact written
+        traces = list((tmp_path / "test_logs").glob("query_trace_*.json"))
+        assert traces
+        trace = json.loads(traces[0].read_text())
+        assert trace["question"] == "What is the rent for the second year?"
+        assert trace["children"]
+
+    def test_result_cache_hit(self, stack):
+        engine, *_ = stack
+        q = "What is the GST amount?"
+        first = engine.query(q)
+        second = engine.query(q)
+        assert not first.get("cache_hit")
+        assert second.get("cache_hit")
+
+    def test_filter_no_match_message(self, stack):
+        engine, *_ = stack
+        out = engine.query("rent amount", filters={"fileType": ["word"]})
+        assert "No documents matched your filter" in out["answer"]
+        assert out["chunks"] == []
+
+    def test_aggregation_strategy_detected(self, stack):
+        engine, *_ = stack
+        out = engine.query("What is the total sum of all invoice amounts combined?")
+        assert out["query_strategy"] == "Aggregation"
+
+    def test_health(self, stack):
+        engine, *_ = stack
+        h = engine.health()
+        assert h["status"] == "ok"
+        assert h["parents"] == 2
+        assert all(v > 0 for v in h["indexes"].values())
+
+
+class TestAPI:
+    def test_search_endpoint(self, stack):
+        engine, client, *_ = stack
+        resp = client.post("/search", json={"query": "Who is the lessor?"})
+        assert resp.status_code == 200
+        data = resp.get_json()
+        assert data["status"] == "success"
+        assert data["documents"]
+        doc = data["documents"][0]
+        for key in ("id", "sourceType", "sourcePath", "fileType", "title", "date",
+                    "snippet", "author", "score"):
+            assert key in doc
+        assert data["aiResponse"]["summary"]
+        assert data["aiResponse"]["items"]
+
+    def test_search_rejects_bad_query(self, stack):
+        engine, client, *_ = stack
+        assert client.post("/search", json={"query": ""}).status_code == 400
+        assert client.post("/search", json={"query": "x" * 5000}).status_code == 400
+
+    def test_search_stream_events(self, stack):
+        engine, client, *_ = stack
+        resp = client.post("/search-stream", json={"query": "GST amount"})
+        assert resp.status_code == 200
+        events = [json.loads(line[6:]) for line in
+                  resp.get_data(as_text=True).splitlines() if line.startswith("data: ")]
+        types = [e["type"] for e in events]
+        assert types == ["chunks", "answer", "complete"]
+        assert events[0]["data"]["documents"]
+        assert events[1]["data"]["aiResponse"]["summary"]
+
+    def test_health_filters_monitoring(self, stack):
+        engine, client, *_ = stack
+        assert client.get("/health").get_json()["status"] == "healthy"
+        f = client.get("/filters").get_json()
+        assert "pdf" in f["fileTypes"] and "custom" in f["timeRanges"]
+        assert client.get("/monitoring-status").get_json()["monitoring_active"] is False
+
+    def test_pdf_traversal_guard(self, stack):
+        engine, client, *_ = stack
+        resp = client.get("/pdf?path=../../etc/passwd")
+        assert resp.status_code in (403, 404)
+        resp2 = client.get("/pdf?path=lease.json")
+        assert resp2.status_code == 200
+
+    def test_recent_documents(self, stack):
+        engine, client, *_ = stack
+        data = client.get("/recent-documents").get_json()
+        assert data["status"] == "success"
+        assert len(data["documents"]) == 2
+        assert data["documents"][0]["title"].endswith(".json")
+
+    def test_admin_processing_status_and_cleanup(self, stack):
+        engine, client, tmp_path, processor, fdb = stack
+        processor.process_all()
+        data = client.get("/admin/processing-status").get_json()
+        assert data["summary"]["total"] == 2
+        assert data["summary"]["embedded"] == 2
+        assert client.post("/admin/cleanup").get_json()["removed"] == []
+
+    def test_feedback_and_metrics(self, stack):
+        engine, client, *_ = stack
+        r = client.post("/feedback", json={"query": "test q", "rating": 4})
+        assert r.get_json()["status"] == "stored"
+        m = client.get("/metrics").get_json()
+        assert "timings" in m and "performance" in m
+
+
+class TestFormatting:
+    def test_ai_response_table_conversion(self):
+        out = format_ai_response(
+            "<p>Summary line</p><table><tr><th>Year</th><th>Rent</th></tr>"
+            "<tr><td>1</td><td>40,000</td></tr></table>")
+        text = out["items"][0]["text"]
+        assert "| Year | Rent |" in text
+        assert "| --- | --- |" in text
+        assert out["summary"].startswith("Summary line")
+
+    def test_ai_response_empty(self):
+        assert format_ai_response("") == {"summary": "No response generated", "items": []}
+
+    def test_chunks_formatting_types(self):
+        docs = format_chunks_for_ui([
+            {"child_id": 5, "document_id": "lease", "source_path": "/x/lease.pdf",
+             "text": "snippet text", "final_rerank_score": 0.7, "source_mtime": 1700000000.0},
+            "bare string chunk",
+        ])
+        assert docs[0]["id"] == "5"
+        assert docs[0]["fileType"] == "pdf"
+        assert docs[0]["score"] == 0.7
+        assert docs[0]["date"] != "Unknown"
+        assert docs[1]["fileType"] == "txt"
+
+
+class TestFeedbackDB:
+    def test_cache_ttl(self, tmp_path):
+        db = FeedbackDatabase(tmp_path / "f.db", cache_ttl_s=10.0)
+        db.cache_put("h1", "q", {"answer": "a"}, now=1000.0)
+        assert db.cache_get("h1", now=1005.0) == {"answer": "a"}
+        assert db.cache_get("h1", now=1011.0) is None
+        stats = db.cache_stats()
+        assert stats["entries"] == 1 and stats["total_hits"] == 1
+
+    def test_analytics(self, tmp_path):
+        db = FeedbackDatabase(tmp_path / "f.db")
+        for i in range(6):
+            db.store_feedback(query=f"rent amount question {i}", rating=4,
+                              response_time_s=1.0)
+        db.store_feedback(query="slow outlier question", rating=2, response_time_s=50.0)
+        assert db.performance_summary()["total_queries"] == 7
+        kw = dict(db.keyword_frequency())
+        assert kw.get("rent") == 6
+        anomalies = db.detect_anomalies(z_threshold=2.0)
+        assert anomalies and anomalies[0]["query"] == "slow outlier question"
+        assert db.temporal_patterns()
+
+
+class TestLedger:
+    def test_change_detection_and_resume(self, tmp_path):
+        f = tmp_path / "doc.txt"
+        f.write_text("version one")
+        ledger = ProcessingLedger(tmp_path / "state.json")
+        assert ledger.needs_processing(str(f))
+        st = ledger.refresh_entry(str(f))
+        assert st.sha256 == file_sha256(f)
+        ledger.mark(str(f), extracted=True, chunked=True, embedded=True)
+        assert not ledger.needs_processing(str(f))
+        # persisted state survives reload
+        ledger.save()
+        ledger2 = ProcessingLedger(tmp_path / "state.json")
+        assert not ledger2.needs_processing(str(f))
+        # content change detected even with same size (sha differs)
+        time.sleep(0.01)
+        f.write_text("version two")
+        assert ledger2.has_changed(str(f))
+        assert ledger2.needs_processing(str(f))
+
+    def test_remove_missing(self, tmp_path):
+        f = tmp_path / "gone.txt"
+        f.write_text("x")
+        ledger = ProcessingLedger(tmp_path / "state.json")
+        ledger.refresh_entry(str(f))
+        f.unlink()
+        gone = ledger.remove_missing([])
+        assert gone == [str(f)]
+        assert ledger.summary()["total"] == 0
+
+
+class TestProcessor:
+    def test_full_sweep_and_resume(self, stack):
+        engine, client, tmp_path, processor, fdb = stack
+        out = processor.process_all()
+        assert len(out["processed"]) == 2 and not out["failed"]
+        # second sweep: nothing to do
+        out2 = processor.process_all()
+        assert out2["processed"] == [] and len(out2["skipped"]) == 2
+        # modify a source -> reprocessed with cleanup
+        src = tmp_path / "Source_Documents" / "lease.json"
+        time.sleep(0.01)
+        src.write_text(json.dumps({"blocks": [
+            {"content": "Updated lease: rent is now Rs 50,000 per month. " * 10, "page": 0}]}))
+        out3 = processor.process_all()
+        assert str(src) in out3["processed"]
+        # the engine should now see the updated content
+        res = engine.query("what is the updated monthly rent now")
+        assert "50,000" in res["answer"]
