@@ -1,0 +1,4 @@
+from financial_rag_tpu.parallel.mesh import make_mesh
+from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+__all__ = ["make_mesh", "ShardedFlatIndex"]

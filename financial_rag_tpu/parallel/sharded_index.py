@@ -1,0 +1,185 @@
+"""Corpus-sharded flat index over a device mesh.
+
+The multi-chip centerpiece (SURVEY.md §5.8): the child-vector corpus is
+row-sharded across the mesh's 'shard' axis; a query batch is replicated;
+each device runs the SAME fused top-k sweep over its local rows
+(ops/topk.py); per-shard top-k candidates ride ICI via all_gather and a
+tiny replicated merge yields the global top-k. Results are shard-count
+invariant (ties break to the lower global index on any mesh — SURVEY.md
+§7.3 'sharded top-k merge'), verified in tests by comparing 8-shard vs
+1-shard results.
+
+Slot assignment interleaves ids round-robin across shards so every device
+sweeps the same number of rows (balanced HBM streams).
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from financial_rag_tpu.ops.common import round_up
+from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul, topk_matmul_reference
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("parallel.sharded_index")
+
+TILE = 1024
+
+
+def _local_search(backend: str, k: int, nbuckets: int, queries, corpus, valid):
+    if backend == "pallas_bucketed":
+        return bucketed_topk(queries, corpus, valid, k, nbuckets=nbuckets, interpret=False)
+    if backend == "pallas_exact":
+        return topk_matmul(queries, corpus, valid, k, interpret=False)
+    return topk_matmul_reference(queries, corpus, valid, k)
+
+
+class ShardedFlatIndex:
+    """Same API as index.flat.FlatIndex, corpus sharded over mesh axis 'shard'."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dim: int = 384,
+        capacity_per_shard: int = 1 << 13,
+        *,
+        axis: str = "shard",
+        dtype=jnp.bfloat16,
+        backend: str = "auto",
+        nbuckets: int = 4096,
+        name: str = "children_sharded",
+    ) -> None:
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = mesh.shape[axis]
+        self.dim = dim
+        self.cap_per_shard = round_up(capacity_per_shard, TILE)
+        self.capacity = self.cap_per_shard * self.n_shards
+        self.dtype = dtype
+        self.name = name
+        self.nbuckets = nbuckets
+        if backend == "auto":
+            backend = "pallas_bucketed" if jax.default_backend() == "tpu" else "xla"
+        self.backend = backend
+
+        self._row_sharding = NamedSharding(mesh, P(axis, None))
+        self._valid_sharding = NamedSharding(mesh, P(axis))
+        self._vectors = jax.device_put(
+            jnp.zeros((self.capacity, dim), dtype), self._row_sharding)
+        self._valid = jax.device_put(
+            jnp.zeros((self.capacity,), jnp.float32), self._valid_sharding)
+        self._ids = np.zeros((self.capacity,), np.int64)
+        self._slot_of: Dict[int, int] = {}
+        self._fill = np.zeros(self.n_shards, np.int64)  # next local slot per shard
+        self._lock = threading.Lock()
+        self._search_fn: Dict[Tuple, object] = {}
+
+    def __len__(self) -> int:
+        return len(self._slot_of)
+
+    def count(self) -> int:
+        return len(self._slot_of)
+
+    # ------------------------------------------------------------- updates
+
+    def _alloc_slot(self) -> int:
+        """Round-robin across shards: global slot = shard*cap + local."""
+        shard = int(np.argmin(self._fill))
+        local = int(self._fill[shard])
+        if local >= self.cap_per_shard:
+            raise RuntimeError(
+                f"sharded index full ({self.capacity} slots); raise capacity_per_shard")
+        self._fill[shard] += 1
+        return shard * self.cap_per_shard + local
+
+    def upsert(self, ids, vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        vectors = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        with self._lock:
+            slots = np.empty(len(ids), np.int64)
+            for j, cid in enumerate(ids):
+                cid = int(cid)
+                slot = self._slot_of.get(cid)
+                if slot is None:
+                    slot = self._alloc_slot()
+                    self._slot_of[cid] = slot
+                    self._ids[slot] = cid
+                slots[j] = slot
+            slots_d = jnp.asarray(slots)
+            self._vectors = jax.device_put(
+                self._vectors.at[slots_d].set(jnp.asarray(vectors, self.dtype)),
+                self._row_sharding)
+            self._valid = jax.device_put(
+                self._valid.at[slots_d].set(1.0), self._valid_sharding)
+
+    def delete(self, ids) -> int:
+        with self._lock:
+            slots = [self._slot_of.pop(int(c)) for c in ids if int(c) in self._slot_of]
+            for s in slots:
+                self._ids[s] = 0
+            if slots:
+                self._valid = jax.device_put(
+                    self._valid.at[jnp.asarray(np.asarray(slots))].set(0.0),
+                    self._valid_sharding)
+            return len(slots)
+
+    # -------------------------------------------------------------- search
+
+    def _build_search(self, k: int):
+        from jax import shard_map
+
+        cap, axis, backend, nbuckets = self.cap_per_shard, self.axis, self.backend, self.nbuckets
+
+        def shard_fn(queries, corpus, valid):
+            # local shapes: queries [B, D] (replicated), corpus [cap, D], valid [cap]
+            s, i = _local_search(backend, k, nbuckets, queries, corpus, valid)
+            shard_id = jax.lax.axis_index(axis)
+            gi = jnp.where(i >= 0, i + shard_id * cap, -1)
+            # gather per-shard candidates: [n_shards, B, k]
+            s_all = jax.lax.all_gather(s, axis)
+            i_all = jax.lax.all_gather(gi, axis)
+            b = s.shape[0]
+            s_cat = jnp.swapaxes(s_all, 0, 1).reshape(b, -1)   # [B, n_shards*k]
+            i_cat = jnp.swapaxes(i_all, 0, 1).reshape(b, -1)
+            # shard-major concat + stable top_k => ties favor lower shard,
+            # and within a shard candidates are already in lower-index-first
+            # rank order, so the merge is globally tie-consistent
+            top_s, pos = jax.lax.top_k(s_cat, k)
+            top_i = jnp.take_along_axis(i_cat, pos, axis=1)
+            return top_s, top_i
+
+        fn = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P(self.axis, None), P(self.axis)),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b = queries.shape[0]
+        if not self._slot_of:
+            return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
+
+        fn = self._search_fn.get(top_k)
+        if fn is None:
+            fn = self._build_search(top_k)
+            self._search_fn[top_k] = fn
+        with self.mesh:
+            s, gi = fn(jnp.asarray(queries), self._vectors, self._valid)
+        s, gi = np.array(s), np.array(gi)
+        ids = np.where(gi >= 0, self._ids[np.maximum(gi, 0)], 0)
+        bad = s < -100.0
+        ids[bad] = 0
+        s[bad] = -np.inf
+        return ids.astype(np.int64), s

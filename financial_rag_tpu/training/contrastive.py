@@ -1,0 +1,126 @@
+"""Contrastive fine-tuning of the retrieval encoders on a device mesh.
+
+The reference has no training at all (SURVEY.md §5.4: 'no model training');
+this module goes beyond parity: in-batch-negative InfoNCE (the standard
+dual-encoder recipe behind bge/gte) as one pjit-compiled train step over a
+(data, model) mesh:
+
+- batch sharded over 'data' (queries/documents split across chips);
+- tensor parallelism over 'model': attention projections sharded on the
+  head/output dim, FFN sharded on the intermediate dim — XLA/GSPMD inserts
+  the all-reduces from the sharding constraints alone (scaling-book recipe:
+  annotate shardings, let the compiler place collectives);
+- the similarity matrix uses GLOBAL negatives: embeddings are all-gathered
+  across the data axis by XLA when the [B, H] activations meet the
+  replicated logits matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from financial_rag_tpu.config import ModelConfig
+from financial_rag_tpu.models.bert import bert_encode
+
+
+def param_sharding_rules(mesh: Mesh, model_axis: str = "model") -> Dict[str, Any]:
+    """PartitionSpec tree matching models.checkpoint param layout.
+
+    Attention q/k/v shard the output (head) dim, o the input dim; FFN
+    shards the intermediate dim both ways. Embeddings, layer norms and
+    biases of layer-norm'd outputs stay replicated (they are small and
+    follow all-reduced activations).
+    """
+    m = model_axis
+    layers = {
+        "q_w": P(None, None, m), "q_b": P(None, m),
+        "k_w": P(None, None, m), "k_b": P(None, m),
+        "v_w": P(None, None, m), "v_b": P(None, m),
+        "o_w": P(None, m, None), "o_b": P(None),
+        "attn_ln_scale": P(None), "attn_ln_bias": P(None),
+        "ffn_in_w": P(None, None, m), "ffn_in_b": P(None, m),
+        "ffn_out_w": P(None, m, None), "ffn_out_b": P(None),
+        "ffn_ln_scale": P(None), "ffn_ln_bias": P(None),
+    }
+    rules: Dict[str, Any] = {
+        "embeddings": {
+            "word": P(None, None), "position": P(None, None),
+            "token_type": P(None, None), "ln_scale": P(None), "ln_bias": P(None),
+        },
+        "layers": layers,
+    }
+    return rules
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    rules = param_sharding_rules(mesh, model_axis)
+
+    def place(path, leaf):
+        node = rules
+        for k in path:
+            key = getattr(k, "key", None)
+            if key is None or not isinstance(node, dict) or key not in node:
+                return jax.device_put(leaf, NamedSharding(mesh, P()))
+            node = node[key]
+        spec = node if isinstance(node, P) else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def contrastive_loss(q_emb: jnp.ndarray, d_emb: jnp.ndarray,
+                     temperature: float = 0.05) -> jnp.ndarray:
+    """Symmetric InfoNCE with in-batch negatives. Embeddings are unit-norm."""
+    logits = jnp.dot(q_emb, d_emb.T, preferred_element_type=jnp.float32) / temperature
+    labels = jnp.arange(logits.shape[0])
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    return 0.5 * (loss_qd + loss_dq)
+
+
+def make_train_step(
+    config: ModelConfig,
+    mesh: Mesh,
+    *,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    pooling: str = "mean",
+    temperature: float = 0.05,
+    compute_dtype=jnp.float32,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Returns (train_step, init_state). Batch dict keys:
+    q_ids, q_mask, d_ids, d_mask (all [B, S] int32, B divisible by the
+    data-axis size)."""
+    optimizer = optimizer or optax.adamw(1e-5)
+
+    def loss_fn(params, batch):
+        q_emb = bert_encode(params, batch["q_ids"], batch["q_mask"], config=config,
+                            pooling=pooling, compute_dtype=compute_dtype)
+        d_emb = bert_encode(params, batch["d_ids"], batch["d_mask"], config=config,
+                            pooling=pooling, compute_dtype=compute_dtype)
+        return contrastive_loss(q_emb, d_emb, temperature)
+
+    batch_sharding = NamedSharding(mesh, P(data_axis, None))
+
+    def train_step(params, opt_state, batch):
+        batch = {k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                 for k, v in batch.items()}
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init_state(params):
+        params = shard_params(params, mesh, model_axis)
+        with mesh:
+            opt_state = jax.jit(optimizer.init)(params)
+        return params, opt_state
+
+    return jax.jit(train_step), init_state

@@ -1,0 +1,142 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh: sharded search
+invariance vs single-shard results, and the dp x tp training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from financial_rag_tpu.parallel.mesh import make_mesh, search_mesh, train_mesh
+from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestMesh:
+    def test_make_mesh_wildcard(self, eight_devices):
+        mesh = make_mesh([("data", -1), ("model", 2)], eight_devices)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_search_mesh(self, eight_devices):
+        mesh = search_mesh(devices=eight_devices)
+        assert mesh.shape["shard"] == 8
+
+
+class TestShardedIndex:
+    def test_matches_numpy_oracle_and_shard_invariance(self, eight_devices):
+        rng = np.random.default_rng(7)
+        d, n, k = 128, 4096, 10
+        x = _unit(rng, n, d)
+        ids = np.arange(100, 100 + n, dtype=np.int64)
+        q = _unit(rng, 6, d)
+
+        mesh8 = search_mesh(devices=eight_devices)
+        idx8 = ShardedFlatIndex(mesh8, dim=d, capacity_per_shard=1024, dtype=jnp.float32)
+        idx8.upsert(ids, x)
+        ids8, s8 = idx8.search(q, k)
+
+        # numpy exact oracle
+        s = q @ x.T
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        ref_ids = ids[order]
+        np.testing.assert_array_equal(np.sort(ids8, axis=1), np.sort(ref_ids, axis=1))
+        # scores must agree
+        np.testing.assert_allclose(np.sort(s8, axis=1)[:, ::-1],
+                                   np.take_along_axis(s, order, axis=1), atol=1e-5)
+
+        # single-shard result set identical (shard-count invariance)
+        mesh1 = search_mesh(devices=eight_devices[:1])
+        idx1 = ShardedFlatIndex(mesh1, dim=d, capacity_per_shard=8192, dtype=jnp.float32)
+        idx1.upsert(ids, x)
+        ids1, s1 = idx1.search(q, k)
+        np.testing.assert_array_equal(np.sort(ids8, axis=1), np.sort(ids1, axis=1))
+
+    def test_upsert_overwrite_and_delete(self, eight_devices):
+        rng = np.random.default_rng(3)
+        mesh = search_mesh(devices=eight_devices)
+        idx = ShardedFlatIndex(mesh, dim=64, capacity_per_shard=1024, dtype=jnp.float32)
+        x = _unit(rng, 16, 64)
+        idx.upsert(np.arange(1, 17, dtype=np.int64), x)
+        assert idx.count() == 16
+        # balanced placement across shards
+        assert idx._fill.max() - idx._fill.min() <= 1
+        idx.upsert([1], -x[0:1])
+        assert idx.count() == 16
+        got, s = idx.search(-x[0:1], 1)
+        assert got[0, 0] == 1 and s[0, 0] > 0.99
+        assert idx.delete([1, 2]) == 2
+        got2, _ = idx.search(x[2:3], 14)
+        assert 1 not in got2 and 2 not in got2
+
+
+class TestTraining:
+    def test_train_step_runs_and_descends(self, eight_devices):
+        import optax
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import random_params
+        from financial_rag_tpu.training import make_train_step
+
+        mesh = train_mesh(tp=2, devices=eight_devices)
+        config = ModelConfig(name="tiny", hidden_size=64, num_layers=2, num_heads=4,
+                             intermediate_size=128, vocab_size=256, max_position=32)
+        params = random_params(config, seed=0)
+        step, init_state = make_train_step(
+            config, mesh, optimizer=optax.adam(1e-3))
+        params, opt_state = init_state(params)
+
+        rng = np.random.default_rng(0)
+        b, s = 8, 16
+        batch = {
+            "q_ids": jnp.asarray(rng.integers(1, 256, (b, s)), jnp.int32),
+            "q_mask": jnp.ones((b, s), jnp.int32),
+            "d_ids": jnp.asarray(rng.integers(1, 256, (b, s)), jnp.int32),
+            "d_mask": jnp.ones((b, s), jnp.int32),
+        }
+        losses = []
+        with mesh:
+            for _ in range(5):
+                params, opt_state, loss = step(params, opt_state, batch)
+                losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+    def test_contrastive_loss_perfect_alignment(self):
+        from financial_rag_tpu.training import contrastive_loss
+
+        rng = np.random.default_rng(0)
+        e = rng.standard_normal((6, 32)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        aligned = float(contrastive_loss(jnp.asarray(e), jnp.asarray(e), temperature=0.05))
+        shuffled = float(contrastive_loss(jnp.asarray(e), jnp.asarray(np.roll(e, 1, axis=0))))
+        assert aligned < shuffled
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (8, 384)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4)
+
+    def test_dryrun_multichip(self, eight_devices):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
