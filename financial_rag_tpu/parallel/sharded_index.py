@@ -159,7 +159,7 @@ class ShardedFlatIndex:
             shard_fn, mesh=self.mesh,
             in_specs=(P(), P(self.axis, None), P(self.axis)),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn)
 
