@@ -1,0 +1,90 @@
+"""Headline benchmark: query throughput on a 100k-chunk child index.
+
+BASELINE.md target: >=50,000 QPS on a 100k-chunk index (v5e-8 budget; this
+harness runs on however many chips are visible — currently one). Measures
+the serving search path: fused Pallas bucketed top-k sweep (k=24, the
+reference's retrieval candidate count) over a bf16 [100k, 384] corpus with
+a 128-query batch, plus recall@24 against an exact f32 numpy oracle.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 50_000.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_tpu.models.encoder import setup_compilation_cache
+    from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul_reference
+
+    setup_compilation_cache()
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()}")
+
+    nq, n, d, k = 128, 102_400, 384, 24
+    if not on_tpu:
+        n = 8_192  # CPU smoke mode
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    valid = np.ones(n, np.float32)
+
+    xd = jnp.asarray(x, jnp.bfloat16)
+    qd = jnp.asarray(q)
+    vd = jnp.asarray(valid)
+
+    if on_tpu:
+        fn = jax.jit(lambda qq: bucketed_topk(qq, xd, vd, k, interpret=False))
+    else:
+        fn = jax.jit(lambda qq: topk_matmul_reference(qq, xd, vd, k))
+
+    t0 = time.time()
+    s, i = fn(qd)
+    s.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # steady-state: pipeline 100 sweeps
+    iters = 100 if on_tpu else 10
+    t0 = time.time()
+    for _ in range(iters):
+        s, i = fn(qd)
+    s.block_until_ready()
+    dt = (time.time() - t0) / iters
+    qps = nq / dt
+
+    # recall@24 vs exact f32 oracle
+    sref = q @ x.T
+    order = np.argsort(-sref, axis=1, kind="stable")[:, :k]
+    got = np.asarray(i)
+    recall = float(np.mean([len(set(a) & set(b)) / k for a, b in zip(got, order)]))
+
+    log(f"sweep {dt * 1e3:.3f} ms/batch of {nq} -> {qps:,.0f} QPS, recall@{k}={recall:.4f}")
+    print(json.dumps({
+        "metric": f"search QPS @ {n // 1000}k chunks (k={k}, batch={nq}, bf16 corpus)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "recall_at_24_vs_f32_oracle": round(recall, 4),
+        "latency_ms_per_batch": round(dt * 1e3, 3),
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()
