@@ -59,3 +59,34 @@ class BM25:
             tf = np.asarray([d.get(t, 0) for d in self.term_freqs], np.float32)
             scores += idf * tf * (self.k1 + 1.0) / (tf + norm)
         return scores
+
+
+class _NativeScorer:
+    def __init__(self, texts):
+        from financial_rag_tpu.native import NativeBM25
+
+        self._impl = NativeBM25(list(texts))
+
+    def score_text(self, query_text: str) -> np.ndarray:
+        return self._impl.get_scores(query_text)
+
+
+class _PyScorer:
+    def __init__(self, texts):
+        self._impl = BM25([t.split() for t in texts])
+
+    def score_text(self, query_text: str) -> np.ndarray:
+        return self._impl.get_scores(query_text.split())
+
+
+def build_scorer(texts) -> "object":
+    """Uniform text-in scorer: C++ inverted index when built, numpy BM25
+    otherwise (identical scores — verified in tests/test_native.py)."""
+    try:
+        from financial_rag_tpu import native
+
+        if native.available():
+            return _NativeScorer(texts)
+    except Exception:  # noqa: BLE001 — any native failure falls back
+        pass
+    return _PyScorer(texts)

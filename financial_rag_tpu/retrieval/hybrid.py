@@ -22,7 +22,7 @@ from financial_rag_tpu.config import FusionConfig, RetrievalConfig
 from financial_rag_tpu.index.flat import FlatIndex
 from financial_rag_tpu.llm.provider import LLMProvider, NullLLM, normalize_query
 from financial_rag_tpu.models.encoder import DualEncoder
-from financial_rag_tpu.retrieval.bm25 import BM25
+from financial_rag_tpu.retrieval.bm25 import build_scorer
 from financial_rag_tpu.retrieval.fusion import minmax_avg_fuse, rrf_fuse
 from financial_rag_tpu.store import ChildMetaStore
 from financial_rag_tpu.utils import get_logger, time_block
@@ -96,9 +96,9 @@ class HybridRetriever:
         bm25_scores: Dict[int, float] = {}
         if corpus_ids:
             with time_block("hybrid.bm25"):
-                bm25 = BM25([child_docs[c].split() for c in corpus_ids])
+                scorer = build_scorer([child_docs[c] for c in corpus_ids])
                 for q in queries:
-                    scores = bm25.get_scores(q.split())
+                    scores = scorer.score_text(q)
                     for cid, s in zip(corpus_ids, scores):
                         bm25_scores[cid] = max(bm25_scores.get(cid, 0.0), float(s))
 

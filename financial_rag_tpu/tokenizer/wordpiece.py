@@ -135,7 +135,8 @@ class WordPieceTokenizer:
 
     def __init__(self, vocab: Optional[Dict[str, int]] = None,
                  vocab_path: Optional[str] = None,
-                 do_lower_case: bool = True):
+                 do_lower_case: bool = True,
+                 use_native: bool = True):
         self.vocab = vocab if vocab is not None else load_vocab(vocab_path)
         special = [PAD, UNK, CLS, SEP, MASK]
         self.basic = BasicTokenizer(do_lower_case=do_lower_case, never_split=special)
@@ -143,6 +144,38 @@ class WordPieceTokenizer:
         self.unk_id = self.vocab[UNK]
         self.cls_id = self.vocab[CLS]
         self.sep_id = self.vocab[SEP]
+        # C++ fast path for plain-ASCII text (exact for that subset); lazily
+        # constructed, silently absent when the toolchain/library is missing
+        self._native = None
+        self._native_ok = use_native and do_lower_case
+
+    def _native_tok(self):
+        if not self._native_ok:
+            return None
+        if self._native is None:
+            try:
+                from financial_rag_tpu.native import NativeWordPiece, available
+                from financial_rag_tpu.tokenizer.vocab import inverse_vocab
+
+                if available():
+                    self._native = NativeWordPiece(inverse_vocab(self.vocab))
+                else:
+                    self._native_ok = False
+            except Exception:
+                self._native_ok = False
+        return self._native
+
+    @staticmethod
+    def _native_safe(text: str) -> bool:
+        # native path handles pure-ASCII text without special-token literals
+        return text.isascii() and "[" not in text
+
+    def token_ids(self, text: str) -> List[int]:
+        """Raw WordPiece ids (no CLS/SEP), using the C++ path when exact."""
+        native = self._native_tok()
+        if native is not None and self._native_safe(text):
+            return native.tokenize_ids(text)
+        return self.convert_tokens_to_ids(self.tokenize(text))
 
     # --- token-level API -------------------------------------------------
 
@@ -185,14 +218,14 @@ class WordPieceTokenizer:
 
     def encode(self, text: str, max_len: int = 512) -> List[int]:
         """[CLS] tokens [SEP], truncated to max_len."""
-        ids = self.convert_tokens_to_ids(self.tokenize(text))[: max_len - 2]
+        ids = self.token_ids(text)[: max_len - 2]
         return [self.cls_id] + ids + [self.sep_id]
 
     def encode_pair(self, text_a: str, text_b: str, max_len: int = 512) -> Tuple[List[int], List[int]]:
         """[CLS] a [SEP] b [SEP] with longest-first truncation.
         Returns (ids, token_type_ids)."""
-        a = self.convert_tokens_to_ids(self.tokenize(text_a))
-        b = self.convert_tokens_to_ids(self.tokenize(text_b))
+        a = self.token_ids(text_a)
+        b = self.token_ids(text_b)
         budget = max_len - 3
         while len(a) + len(b) > budget:
             if len(a) >= len(b):
