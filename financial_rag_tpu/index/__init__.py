@@ -1,4 +1,5 @@
 from financial_rag_tpu.index.flat import FlatIndex
 from financial_rag_tpu.index.ivf import IVFIndex
+from financial_rag_tpu.index.multivector import MultiVectorIndex
 
-__all__ = ["FlatIndex", "IVFIndex"]
+__all__ = ["FlatIndex", "IVFIndex", "MultiVectorIndex"]

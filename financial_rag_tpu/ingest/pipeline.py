@@ -49,6 +49,8 @@ class IngestionPipeline:
         llm: Optional[LLMProvider] = None,
         chunk_logs_dir: Optional[str] = None,
         chunk_context_enabled: bool = False,
+        multivector_index=None,
+        token_encoder=None,
     ) -> None:
         assert set(indexes) == set(dual_encoder.names), \
             f"indexes {set(indexes)} must match encoders {set(dual_encoder.names)}"
@@ -60,6 +62,10 @@ class IngestionPipeline:
         self.llm = llm or NullLLM()
         self.chunk_logs_dir = Path(chunk_logs_dir) if chunk_logs_dir else None
         self.chunk_context_enabled = chunk_context_enabled
+        # optional late-interaction tier (disabled by default, like the
+        # reference's mv_enabled=False — pipeline.py:20)
+        self.multivector_index = multivector_index
+        self.token_encoder = token_encoder
 
     # ------------------------------------------------------------- ingest
 
@@ -108,6 +114,11 @@ class IngestionPipeline:
         for name, vecs in per_model.items():
             with time_block("ingest.index_upsert"):
                 self.indexes[name].upsert(ids, vecs)
+
+        if self.multivector_index is not None and self.token_encoder is not None:
+            with time_block("ingest.multivector_upsert"):
+                self.multivector_index.upsert(
+                    ids, self.token_encoder.encode_tokens([ch.content for ch in children]))
 
         stats = {
             "document_id": document_id,

@@ -139,6 +139,40 @@ class Encoder:
         return self.encode([text])[0]
 
 
+class TokenEncoder:
+    """Per-token embeddings for the late-interaction (multivector) tier:
+    encoder last hidden states with CLS/SEP dropped, L2-normalized
+    (semantics of reference multivector_store.py:100-110)."""
+
+    def __init__(self, encoder: Encoder, max_tokens: int = 128) -> None:
+        self.encoder = encoder
+        self.max_tokens = max_tokens
+
+    def encode_tokens(self, texts: Sequence[str]) -> List[np.ndarray]:
+        from financial_rag_tpu.models.bert import bert_forward
+
+        enc = self.encoder
+        out: List[np.ndarray] = []
+        for text in texts:  # token outputs are ragged; batch in buckets later
+            seq = enc.tokenizer.encode(text, max_len=self.max_tokens + 2)
+            n = len(seq)
+            pad_to = min(max(64, ((n + 63) // 64) * 64), enc.max_seq_len)
+            ids = np.full((1, pad_to), enc.tokenizer.pad_id, np.int32)
+            mask = np.zeros((1, pad_to), np.int32)
+            ids[0, :n] = seq
+            mask[0, :n] = 1
+            hidden = bert_forward(
+                enc.params, jnp.asarray(ids), jnp.asarray(mask),
+                config=enc.config, compute_dtype=enc.compute_dtype,
+                attention_impl=enc.attention_impl)
+            vecs = np.asarray(hidden[0, 1: n - 1], np.float32)  # drop CLS/SEP
+            if len(vecs) == 0:
+                vecs = np.asarray(hidden[0, :1], np.float32)
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            out.append(vecs)
+        return out
+
+
 class DualEncoder:
     """The BAAI + GTE ensemble (reference retriever.py:26-57): two encoders
     sharing one tokenizer/vocab, each feeding its own index collection, plus

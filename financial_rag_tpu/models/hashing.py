@@ -59,3 +59,13 @@ class HashingEncoder:
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
+
+    def encode_tokens(self, texts: Sequence[str]) -> list:
+        """Per-token unit vectors (for the multivector tier in tests)."""
+        out = []
+        for t in texts:
+            ids = [tid for tid in self.tokenizer.encode(t, max_len=130) if tid not in self._skip]
+            if not ids:
+                ids = [self.tokenizer.unk_id]
+            out.append(np.stack([self._token_vec(tid) for tid in ids]))
+        return out

@@ -40,6 +40,8 @@ class HybridRetriever:
         fusion_cfg: Optional[FusionConfig] = None,
         retrieval_cfg: Optional[RetrievalConfig] = None,
         llm: Optional[LLMProvider] = None,
+        multivector_index=None,
+        token_encoder=None,
     ) -> None:
         self.dual_encoder = dual_encoder
         self.indexes = indexes
@@ -47,6 +49,10 @@ class HybridRetriever:
         self.fusion_cfg = fusion_cfg or FusionConfig()
         self.retrieval_cfg = retrieval_cfg or RetrievalConfig()
         self.llm = llm or NullLLM()
+        # optional late-interaction tier (reference rag_backend.py:652-672,
+        # gated by CHILD_USE_MULTIVECTOR -> retrieval_cfg.multivector_enabled)
+        self.multivector_index = multivector_index
+        self.token_encoder = token_encoder
 
     def retrieve_children(
         self,
@@ -63,6 +69,17 @@ class HybridRetriever:
             per_model_vecs = self.dual_encoder.encode_all(queries)
 
         ranked_lists: List[List[Tuple[int, float]]] = []
+
+        if (self.retrieval_cfg.multivector_enabled
+                and self.multivector_index is not None
+                and self.token_encoder is not None
+                and self.multivector_index.count() > 0):
+            with time_block("hybrid.multivector"):
+                for qtok in self.token_encoder.encode_tokens(queries):
+                    hits = self.multivector_index.search_aggregate(
+                        qtok, top_k=self.fusion_cfg.per_query_k)
+                    ranked_lists.append([(h["child_id"], h["score"]) for h in hits])
+
         for name, vecs in per_model_vecs.items():
             with time_block("hybrid.search"):
                 ids, scores = self.indexes[name].search(vecs, self.fusion_cfg.per_query_k)
