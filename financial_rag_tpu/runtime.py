@@ -1,0 +1,155 @@
+"""Runtime factory: assemble the full stack from configuration.
+
+One call builds encoders (real checkpoints when available, deterministic
+lexical fallback otherwise), per-model indexes (reloaded from the persist
+dir), stores, reranker, LLM provider, retrievers, engine, ingestion
+pipeline, auto-ingest processor and the WSGI app — the composition the
+reference scatters across module-level singletons in rag_backend.py /
+api_server.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional
+
+from financial_rag_tpu.config import FrameworkConfig, ModelConfig
+from financial_rag_tpu.engine import RAGEngine
+from financial_rag_tpu.index.flat import FlatIndex
+from financial_rag_tpu.ingest.ledger import ProcessingLedger
+from financial_rag_tpu.ingest.pipeline import IngestionPipeline, collection_slug
+from financial_rag_tpu.llm.provider import get_provider
+from financial_rag_tpu.models.encoder import DualEncoder, Encoder, setup_compilation_cache
+from financial_rag_tpu.models.hashing import HashingEncoder
+from financial_rag_tpu.retrieval.hybrid import HybridRetriever
+from financial_rag_tpu.retrieval.rerank import CrossEncoderModel, CrossEncoderReranker
+from financial_rag_tpu.retrieval.retriever import ParentContextRetriever
+from financial_rag_tpu.store import ChildMetaStore, ParentStore
+from financial_rag_tpu.store.feedback_db import FeedbackDatabase
+from financial_rag_tpu.utils import get_logger
+from financial_rag_tpu.utils.tracing import QueryTracer
+
+log = get_logger("runtime")
+
+POOLING_BY_MODEL = {"baai": "cls", "gte": "mean"}  # true checkpoint behavior
+
+
+def _build_encoder(name: str, path: Optional[str], pooling: str, cfg: FrameworkConfig):
+    if path and Path(path).exists():
+        try:
+            enc = Encoder.from_pretrained(
+                path, pooling=pooling,
+                batch_size=cfg.encoders.encode_batch_size,
+                max_seq_len=cfg.encoders.max_seq_len)
+            log.info("encoder %s: loaded checkpoint from %s", name, path)
+            return enc
+        except FileNotFoundError as e:
+            log.warning("encoder %s: %s", name, e)
+    log.warning("encoder %s: no usable checkpoint; using deterministic "
+                "lexical fallback encoder", name)
+    return HashingEncoder(dim=384, salt=hash(name) & 0xFFFF)
+
+
+@dataclass
+class Runtime:
+    config: FrameworkConfig
+    dual_encoder: DualEncoder
+    indexes: Dict[str, FlatIndex]
+    parent_store: ParentStore
+    child_meta: ChildMetaStore
+    feedback_db: FeedbackDatabase
+    pipeline: IngestionPipeline
+    hybrid: HybridRetriever
+    dense_retriever: ParentContextRetriever
+    engine: RAGEngine
+    ledger: ProcessingLedger
+
+    @classmethod
+    def build(cls, config: Optional[FrameworkConfig] = None,
+              data_dir: str | Path = ".") -> "Runtime":
+        # FRAG_PLATFORM=cpu forces the CPU backend even where a TPU plugin
+        # force-registers itself and ignores JAX_PLATFORMS (the axon tunnel
+        # does); must run before any backend initialization.
+        plat = os.environ.get("FRAG_PLATFORM")
+        if plat:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        cfg = config or FrameworkConfig.from_env()
+        data_dir = Path(data_dir)
+        data_dir.mkdir(parents=True, exist_ok=True)
+        setup_compilation_cache()
+
+        encoders = {
+            "baai": _build_encoder("baai", cfg.encoders.baai_path, "cls", cfg),
+            "gte": _build_encoder("gte", cfg.encoders.gte_path, "mean", cfg),
+        }
+        dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights)
+
+        persist = data_dir / cfg.index.persist_dir
+        indexes: Dict[str, FlatIndex] = {}
+        for name in dual.names:
+            coll = collection_slug(getattr(cfg.encoders, f"{name}_name", name))
+            if (persist / f"{coll}.npz").exists():
+                indexes[name] = FlatIndex.load(persist, name=coll)
+                log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
+            else:
+                dim = getattr(encoders[name], "dim", cfg.index.dim)
+                indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity, name=coll)
+
+        parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
+        child_meta = ChildMetaStore(data_dir / "children_meta.db")
+        feedback_db = FeedbackDatabase(data_dir / cfg.store.feedback_db_path,
+                                       cache_ttl_s=cfg.serving.result_cache_ttl_s)
+        llm = get_provider(cfg.llm)
+
+        reranker_model = None
+        if cfg.rerank.enabled and cfg.rerank.model_path and Path(cfg.rerank.model_path).exists():
+            try:
+                reranker_model = CrossEncoderModel.from_pretrained(cfg.rerank.model_path)
+                log.info("reranker: loaded %s", cfg.rerank.model_path)
+            except (FileNotFoundError, ValueError) as e:
+                log.warning("reranker unavailable (%s); falling back to retrieval sort", e)
+        reranker = CrossEncoderReranker(reranker_model, cfg.rerank)
+
+        pipeline = IngestionPipeline(
+            dual, parent_store, child_meta, indexes,
+            llm=llm,
+            chunk_logs_dir=data_dir / cfg.ingest.chunk_logs_dir,
+            chunk_context_enabled=cfg.llm.chunk_context_enabled)
+        hybrid = HybridRetriever(dual, indexes, child_meta,
+                                 fusion_cfg=cfg.fusion, retrieval_cfg=cfg.retrieval, llm=llm)
+        dense = ParentContextRetriever(dual, indexes, parent_store, child_meta,
+                                       rrf_k=cfg.fusion.rrf_k)
+        engine = RAGEngine(hybrid, parent_store, reranker, llm, config=cfg,
+                           feedback_db=feedback_db,
+                           tracer=QueryTracer(data_dir / cfg.store.trace_dir))
+        ledger = ProcessingLedger(data_dir / cfg.ingest.state_path)
+
+        return cls(config=cfg, dual_encoder=dual, indexes=indexes,
+                   parent_store=parent_store, child_meta=child_meta,
+                   feedback_db=feedback_db, pipeline=pipeline, hybrid=hybrid,
+                   dense_retriever=dense, engine=engine, ledger=ledger)
+
+    def save_indexes(self, data_dir: str | Path = ".") -> None:
+        persist = Path(data_dir) / self.config.index.persist_dir
+        for idx in self.indexes.values():
+            idx.save(persist)
+        log.info("persisted %d indexes to %s", len(self.indexes), persist)
+
+    def make_processor(self, data_dir: str | Path = "."):
+        from financial_rag_tpu.serving.processor import DocumentProcessor
+
+        data_dir = Path(data_dir)
+        return DocumentProcessor(
+            self.pipeline, self.ledger,
+            source_dir=data_dir / self.config.ingest.source_dir,
+            extracted_dir=data_dir / self.config.ingest.extracted_dir)
+
+    def make_app(self, processor=None, data_dir: str | Path = "."):
+        from financial_rag_tpu.serving.app import create_app
+
+        return create_app(self.engine, processor=processor, config=self.config,
+                          source_dir=str(Path(data_dir) / self.config.ingest.source_dir))

@@ -1,0 +1,50 @@
+"""Runtime factory: full-stack assembly, persistence reload, golden-question
+flow through the assembled engine (fallback encoders, no LLM)."""
+
+import json
+
+import pytest
+
+from financial_rag_tpu.config import FrameworkConfig
+from financial_rag_tpu.runtime import Runtime
+
+
+@pytest.fixture
+def built(tmp_path, reference_fixture_json):
+    rt = Runtime.build(data_dir=tmp_path)
+    src = tmp_path / "cn22-23.json"
+    src.write_text(json.dumps(reference_fixture_json))
+    rt.pipeline.ingest_extracted_json(src, "cn22-23", source_path=str(src),
+                                      source_mtime=src.stat().st_mtime)
+    return rt, tmp_path
+
+
+class TestRuntime:
+    def test_build_with_fallback_encoders(self, built):
+        rt, tmp_path = built
+        assert set(rt.indexes) == {"baai", "gte"}
+        assert rt.parent_store.count() >= 1
+        out = rt.engine.query("credit note number")
+        assert out["success"]
+        assert out["top_children_chunks"]
+
+    def test_persist_and_reload(self, built):
+        rt, tmp_path = built
+        counts = {n: i.count() for n, i in rt.indexes.items()}
+        rt.save_indexes(tmp_path)
+        rt2 = Runtime.build(data_dir=tmp_path)
+        assert {n: i.count() for n, i in rt2.indexes.items()} == counts
+        out = rt2.dense_retriever.query("tax invoice credit note", top_k=3)
+        assert out["child_hits"]
+
+    def test_make_app_and_processor(self, built):
+        from werkzeug.test import Client
+
+        rt, tmp_path = built
+        (tmp_path / "Source_Documents").mkdir(exist_ok=True)
+        processor = rt.make_processor(tmp_path)
+        app = rt.make_app(processor=processor, data_dir=tmp_path)
+        client = Client(app)
+        assert client.get("/health").get_json()["status"] == "healthy"
+        resp = client.post("/search", json={"query": "credit note"})
+        assert resp.status_code == 200
