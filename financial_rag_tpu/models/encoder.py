@@ -179,18 +179,33 @@ class DualEncoder:
     the dormant fused single-vector mode (0.6/0.4 — reference
     chunker.py:252-260)."""
 
-    def __init__(self, encoders: Dict[str, Encoder], fused_weights: Tuple[float, ...] = (0.6, 0.4)):
+    def __init__(self, encoders: Dict[str, Encoder], fused_weights: Tuple[float, ...] = (0.6, 0.4),
+                 cache=None):
         assert encoders, "at least one encoder required"
         self.encoders = encoders
         self.fused_weights = fused_weights
+        self.cache = cache  # optional utils.embed_cache.EmbeddingCache (query side)
 
     @property
     def names(self) -> List[str]:
         return list(self.encoders.keys())
 
-    def encode_all(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
-        """Per-model embeddings: {model_name: [N, D]}."""
-        return {name: enc.encode(texts) for name, enc in self.encoders.items()}
+    def encode_all(self, texts: Sequence[str], use_cache: bool = False) -> Dict[str, np.ndarray]:
+        """Per-model embeddings: {model_name: [N, D]}. use_cache routes
+        through the md5 embedding cache (query side only)."""
+        if not (use_cache and self.cache is not None):
+            return {name: enc.encode(texts) for name, enc in self.encoders.items()}
+        out: Dict[str, np.ndarray] = {}
+        for name, enc in self.encoders.items():
+            vecs = [self.cache.get(name, t) for t in texts]
+            missing = [i for i, v in enumerate(vecs) if v is None]
+            if missing:
+                fresh = enc.encode([texts[i] for i in missing])
+                for row, i in enumerate(missing):
+                    vecs[i] = fresh[row]
+                    self.cache.put(name, texts[i], fresh[row])
+            out[name] = np.stack(vecs)
+        return out
 
     def encode_fused(self, texts: Sequence[str]) -> np.ndarray:
         """Weighted-sum single vector, re-normalized."""

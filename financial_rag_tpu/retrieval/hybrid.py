@@ -66,7 +66,7 @@ class HybridRetriever:
 
         # ---- dense: batch the query variants per encoder, one sweep per index
         with time_block("hybrid.encode"):
-            per_model_vecs = self.dual_encoder.encode_all(queries)
+            per_model_vecs = self.dual_encoder.encode_all(queries, use_cache=True)
 
         ranked_lists: List[List[Tuple[int, float]]] = []
 

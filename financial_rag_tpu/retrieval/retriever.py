@@ -37,7 +37,7 @@ class ParentContextRetriever:
 
     def query(self, text: str, top_k: int = 8, dedup_parents: int = 4) -> dict:
         with time_block("retriever.encode"):
-            per_model = self.dual_encoder.encode_all([text])
+            per_model = self.dual_encoder.encode_all([text], use_cache=True)
 
         ranked_lists: List[List[int]] = []
         scores_by_child: Dict[int, float] = {}

@@ -86,7 +86,10 @@ class Runtime:
             "baai": _build_encoder("baai", cfg.encoders.baai_path, "cls", cfg),
             "gte": _build_encoder("gte", cfg.encoders.gte_path, "mean", cfg),
         }
-        dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights)
+        from financial_rag_tpu.utils.embed_cache import EmbeddingCache
+
+        dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights,
+                           cache=EmbeddingCache(max_items=4096))
 
         persist = data_dir / cfg.index.persist_dir
         indexes: Dict[str, FlatIndex] = {}

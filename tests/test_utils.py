@@ -76,6 +76,42 @@ def test_config_tree_and_sanitize(monkeypatch):
     assert d == {"a": 1.5, "b": [0, 1, 2], "c": [2]}
 
 
+def test_embedding_cache(tmp_path):
+    import numpy as np
+
+    from financial_rag_tpu.utils.embed_cache import EmbeddingCache
+
+    c = EmbeddingCache(max_items=2, disk_dir=tmp_path)
+    assert c.get("m", "hello") is None
+    v = np.arange(4, dtype=np.float32)
+    c.put("m", "hello", v)
+    np.testing.assert_array_equal(c.get("m", "hello"), v)
+    assert c.get("other_model", "hello") is None  # keyed per model
+    # LRU eviction in memory, but disk still serves
+    c.put("m", "b", v + 1)
+    c.put("m", "c", v + 2)
+    assert len(c._mem) == 2
+    np.testing.assert_array_equal(c.get("m", "hello"), v)  # reloaded from disk
+    assert c.stats()["hits"] == 2
+
+
+def test_dual_encoder_cache_integration():
+    import numpy as np
+
+    from financial_rag_tpu.models.encoder import DualEncoder
+    from financial_rag_tpu.models.hashing import HashingEncoder
+    from financial_rag_tpu.utils.embed_cache import EmbeddingCache
+
+    cache = EmbeddingCache()
+    de = DualEncoder({"a": HashingEncoder(dim=32)}, cache=cache)
+    t = ["query one", "query two"]
+    first = de.encode_all(t, use_cache=True)["a"]
+    second = de.encode_all(t, use_cache=True)["a"]
+    np.testing.assert_array_equal(first, second)
+    assert cache.stats()["hits"] == 2
+    assert cache.stats()["misses"] == 2
+
+
 def test_model_config_from_json():
     from financial_rag_tpu.config import ModelConfig
     import os
