@@ -75,6 +75,7 @@ class RagApi:
         self.src_dir = Path(source_dir or self.cfg.ingest.source_dir)
         self.executor = ThreadPoolExecutor(max_workers=8, thread_name_prefix="search")
         self.url_map = Map([
+            Rule("/", endpoint="ui", methods=["GET"]),
             Rule("/search", endpoint="search", methods=["POST", "OPTIONS"]),
             Rule("/search-stream", endpoint="search_stream", methods=["POST", "OPTIONS"]),
             Rule("/health", endpoint="health", methods=["GET"]),
@@ -111,6 +112,12 @@ class RagApi:
         response.headers["Access-Control-Allow-Headers"] = "Content-Type"
         response.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
         return response(environ, start_response)
+
+    # ------------------------------------------------------------------ UI
+
+    def on_ui(self, request: Request) -> Response:
+        page = Path(__file__).resolve().parent / "static" / "index.html"
+        return Response(page.read_bytes(), mimetype="text/html")
 
     # -------------------------------------------------------------- search
 

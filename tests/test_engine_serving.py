@@ -166,6 +166,13 @@ class TestAPI:
         assert data["summary"]["embedded"] == 2
         assert client.post("/admin/cleanup").get_json()["removed"] == []
 
+    def test_ui_served_at_root(self, stack):
+        engine, client, *_ = stack
+        resp = client.get("/")
+        assert resp.status_code == 200
+        body = resp.get_data(as_text=True)
+        assert "search-stream" in body and "<html" in body
+
     def test_feedback_and_metrics(self, stack):
         engine, client, *_ = stack
         r = client.post("/feedback", json={"query": "test q", "rating": 4})
