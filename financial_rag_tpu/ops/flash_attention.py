@@ -26,10 +26,10 @@ from financial_rag_tpu.ops.common import default_interpret
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, head_dim: int):
-    """One batch element, all heads. refs: [1, S, H], bias: [1, S] additive."""
+    """One batch element, all heads. refs: [1, S, H], bias: [1, 1, S] additive."""
     s = q_ref.shape[1]
     scale = 1.0 / (head_dim ** 0.5)
-    bias = bias_ref[0, :]                       # [S]
+    bias = bias_ref[0, 0, :]                    # [S]
     qf = q_ref[0]                               # [S, H]
     kf = k_ref[0]
     vf = v_ref[0]
@@ -65,7 +65,9 @@ def flash_attention(
         interpret = default_interpret()
     b, s, h = q.shape
     head_dim = h // num_heads
-    bias = mask_bias.reshape(b, s).astype(jnp.float32)
+    # bias as [B, 1, S]: the (1, S) trailing block dims equal the array's,
+    # satisfying Mosaic's tile-alignment rule for non-(8,128) blocks
+    bias = mask_bias.reshape(b, 1, s).astype(jnp.float32)
 
     return pl.pallas_call(
         partial(_attn_kernel, num_heads=num_heads, head_dim=head_dim),
@@ -74,7 +76,7 @@ def flash_attention(
             pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h), q.dtype),
