@@ -29,6 +29,11 @@ MARKER_ENV_FLAGS = [
     ("MARKER_LANGUAGES", "--languages", False),
 ]
 
+# multi-device batch extraction knobs passed through to marker_chunk_convert
+# (reference extraction.py:111-118): these are environment variables of the
+# Marker process itself, not CLI flags.
+MARKER_PASSTHROUGH_ENV = ("NUM_DEVICES", "NUM_WORKERS", "TORCH_DEVICE")
+
 
 def marker_available() -> Optional[str]:
     for cli in ("marker_single", "marker"):
@@ -36,6 +41,28 @@ def marker_available() -> Optional[str]:
         if path:
             return cli
     return None
+
+
+def run_marker_batch(input_dir: str | Path, output_dir: str | Path, *,
+                     timeout_s: float = 7200.0) -> Path:
+    """Batch extraction via marker_chunk_convert (multi-device capable —
+    NUM_DEVICES/NUM_WORKERS env passthrough, reference extraction.py:111-118).
+    Falls back to per-file run_marker when the batch CLI is missing."""
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    cli = shutil.which("marker_chunk_convert")
+    if cli is None:
+        for p in sorted(input_dir.rglob("*")):
+            if p.is_file():
+                run_marker(p, output_dir / p.stem)
+        return output_dir
+    env_vars = dict(os.environ)  # NUM_DEVICES / NUM_WORKERS flow through
+    cmd = [cli, str(input_dir), str(output_dir)]
+    log.info("running marker_chunk_convert: %s (NUM_DEVICES=%s NUM_WORKERS=%s)",
+             " ".join(cmd), env_vars.get("NUM_DEVICES"), env_vars.get("NUM_WORKERS"))
+    subprocess.run(cmd, check=True, timeout=timeout_s, env=env_vars,
+                   capture_output=True, text=True)
+    return output_dir
 
 
 def run_marker(input_path: str | Path, output_dir: str | Path, *,
