@@ -153,6 +153,91 @@ def _bucketed_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, block_n: 
     out_i_ref[:, pl.ds(off, t)] = jnp.where(better, local, seg_i)
 
 
+def _bucketed_fused_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref,
+                           bs_ref, bi_ref, *, k: int, block_n: int, nbuckets: int):
+    """Bucketed running max with the final k-extraction fused into the last
+    grid step, so only [Bq, kpad] leaves the kernel (bucket buffers live in
+    VMEM scratch for the whole corpus sweep)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        bs_ref[:] = jnp.full_like(bs_ref, NEG)
+        bi_ref[:] = jnp.full_like(bi_ref, -1)
+
+    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)
+    scores = scores + (valid_ref[:] - 1.0) * 1.0e5
+    bq, t = scores.shape
+    local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
+    off = pl.multiple_of(jax.lax.rem(j * block_n, nbuckets), block_n)
+    seg_s = bs_ref[:, pl.ds(off, t)]
+    seg_i = bi_ref[:, pl.ds(off, t)]
+    better = scores > seg_s
+    bs_ref[:, pl.ds(off, t)] = jnp.where(better, scores, seg_s)
+    bi_ref[:, pl.ds(off, t)] = jnp.where(better, local, seg_i)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        top_s, top_i = _merge_topk(bs_ref[:], bi_ref[:], k)
+        out_s_ref[:] = top_s
+        out_i_ref[:] = top_i
+
+
+def bucketed_topk_fused(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    *,
+    nbuckets: int = 4096,
+    block_q: int = 128,
+    block_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """bucketed_topk with the final merge fused into the kernel (returns
+    [Bq, k] directly; avoids the [Bq, nbuckets] HBM roundtrip and the XLA
+    sort in lax.top_k)."""
+    if interpret is None:
+        interpret = default_interpret()
+    bq, d = queries.shape
+    n = corpus.shape[0]
+    assert n % block_n == 0, f"corpus rows {n} must be a multiple of block_n {block_n}"
+    if n < nbuckets:
+        nbuckets = n
+    assert nbuckets % block_n == 0
+    kpad = round_up(k, 128)
+
+    bqp = round_up(max(bq, 1), block_q)
+    if bqp != bq:
+        queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
+    qdt = corpus.dtype
+    grid = (bqp // block_q, n // block_n)
+
+    out_s, out_i = pl.pallas_call(
+        partial(_bucketed_fused_kernel, k=k, block_n=block_n, nbuckets=nbuckets),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, kpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, kpad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bqp, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bqp, kpad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, nbuckets), jnp.float32),
+            pltpu.VMEM((block_q, nbuckets), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    return out_s[:bq, :k], out_i[:bq, :k]
+
+
 def bucketed_topk(
     queries: jnp.ndarray,   # [Bq, D]
     corpus: jnp.ndarray,    # [N, D]; N multiple of block_n

@@ -66,15 +66,17 @@ def main() -> None:
 
             configs = {"xla_ref": lambda qq: topk_matmul_reference(qq, xd, vd, k)}
 
+        qd = jnp.asarray(q)  # keep queries device-resident: per-call host
+        # transfers dominate latency on tunneled TPU setups
         for name, raw in configs.items():
             fn = jax.jit(raw)
             t0 = time.time()
-            s, i = fn(jnp.asarray(q))
+            s, i = fn(qd)
             s.block_until_ready()
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(args.iters):
-                s, i = fn(jnp.asarray(q))
+                s, i = fn(qd)
             s.block_until_ready()
             dt = (time.time() - t0) / args.iters
             rec = recall_vs_oracle(np.asarray(i), q, x, k, args.oracle_sample)

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from financial_rag_tpu.ops import (
     bucketed_topk,
+    bucketed_topk_fused,
     flash_attention,
     masked_mean_l2_normalize,
     topk_matmul,
@@ -127,6 +128,35 @@ class TestBucketedTopk:
                              nbuckets=2048, block_n=1024, block_q=8)
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
+
+    def test_fused_matches_unfused(self, rng):
+        nq, n, d, k, L = 6, 4096, 128, 12, 2048
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        valid = np.ones(n, np.float32)
+        valid[50:80] = 0.0
+        s1, i1 = bucketed_topk(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k,
+                               nbuckets=L, block_n=1024, block_q=8)
+        s2, i2 = bucketed_topk_fused(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k,
+                                     nbuckets=L, block_n=1024, block_q=8)
+        # same candidate sets and scores (ordering of exact ties may differ
+        # between the XLA sort and the in-kernel extraction)
+        np.testing.assert_allclose(np.sort(np.asarray(s1), axis=1),
+                                   np.sort(np.asarray(s2), axis=1), atol=1e-5)
+        for a, b in zip(np.asarray(i1), np.asarray(i2)):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_fused_exact_when_corpus_fits(self, rng):
+        nq, n, d, k = 4, 1024, 128, 10
+        q = rng.standard_normal((nq, d)).astype(np.float32)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        valid = np.ones(n, np.float32)
+        ref_s, ref_i = _np_topk(q, x, valid, k)
+        s, i = bucketed_topk_fused(jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), k,
+                                   nbuckets=1024, block_n=1024, block_q=8)
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
 
     def test_high_recall_when_bucketed(self, rng):
         """N > nbuckets: recall ~ 1 - k(k-1)/(2L)."""
