@@ -3,5 +3,12 @@ from financial_rag_tpu.training.contrastive import (
     make_train_step,
     param_sharding_rules,
 )
+from financial_rag_tpu.training.data import PairBatcher, pseudo_pairs_from_children
 
-__all__ = ["contrastive_loss", "make_train_step", "param_sharding_rules"]
+__all__ = [
+    "contrastive_loss",
+    "make_train_step",
+    "param_sharding_rules",
+    "PairBatcher",
+    "pseudo_pairs_from_children",
+]

@@ -112,6 +112,44 @@ class TestTraining:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
+    def test_pair_batcher_end_to_end(self, eight_devices):
+        import optax
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import random_params
+        from financial_rag_tpu.training import (
+            PairBatcher,
+            make_train_step,
+            pseudo_pairs_from_children,
+        )
+
+        children = [
+            "The rent for the second year is Rs 42,800 per month. "
+            "This was agreed in the lease signed in March.",
+            "GST at eighteen percent applies to the invoice total. "
+            "The tax amount comes to Rs 18,000 for this bill.",
+            "too short",
+        ] * 4
+        pairs = pseudo_pairs_from_children(children)
+        assert len(pairs) == 8  # short ones dropped
+        assert all(q and d for q, d in pairs)
+
+        batcher = PairBatcher(max_seq_len=32)
+        batches = list(batcher.batches(pairs, batch_size=8))
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["q_ids"].shape == (8, 32) and b["d_mask"].shape == (8, 32)
+
+        mesh = train_mesh(tp=2, devices=eight_devices)
+        config = ModelConfig(name="tiny", hidden_size=64, num_layers=1, num_heads=4,
+                             intermediate_size=128, vocab_size=30522, max_position=32)
+        step, init_state = make_train_step(config, mesh, optimizer=optax.adam(1e-3))
+        params, opt_state = init_state(random_params(config, seed=0))
+        with mesh:
+            _, _, loss = step(params, opt_state,
+                              {k: jnp.asarray(v) for k, v in b.items()})
+        assert np.isfinite(float(loss))
+
     def test_contrastive_loss_perfect_alignment(self):
         from financial_rag_tpu.training import contrastive_loss
 
