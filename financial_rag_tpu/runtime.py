@@ -91,15 +91,28 @@ class Runtime:
         dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights,
                            cache=EmbeddingCache(max_items=4096))
 
+        # INDEX_SHARDS > 1 shards each collection over that many devices
+        # (0 = single-device FlatIndex with persistence)
+        shards = cfg.mesh.index_shards
         persist = data_dir / cfg.index.persist_dir
         indexes: Dict[str, FlatIndex] = {}
         for name in dual.names:
             coll = collection_slug(getattr(cfg.encoders, f"{name}_name", name))
-            if (persist / f"{coll}.npz").exists():
+            dim = getattr(encoders[name], "dim", cfg.index.dim)
+            if shards > 1:
+                from financial_rag_tpu.parallel.mesh import search_mesh
+                from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+                mesh = search_mesh(n_shards=shards)
+                indexes[name] = ShardedFlatIndex(
+                    mesh, dim=dim,
+                    capacity_per_shard=max(cfg.index.capacity // shards, 1024),
+                    name=coll)
+                log.info("index %s: sharded over %d devices", coll, shards)
+            elif (persist / f"{coll}.npz").exists():
                 indexes[name] = FlatIndex.load(persist, name=coll)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
-                dim = getattr(encoders[name], "dim", cfg.index.dim)
                 indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity, name=coll)
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)

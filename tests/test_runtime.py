@@ -37,6 +37,22 @@ class TestRuntime:
         out = rt2.dense_retriever.query("tax invoice credit note", top_k=3)
         assert out["child_hits"]
 
+    def test_sharded_index_mode(self, tmp_path, monkeypatch, reference_fixture_json):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        monkeypatch.setenv("INDEX_SHARDS", "8")
+        rt = Runtime.build(data_dir=tmp_path)
+        from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+        assert all(isinstance(i, ShardedFlatIndex) for i in rt.indexes.values())
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
     def test_make_app_and_processor(self, built):
         from werkzeug.test import Client
 
