@@ -40,10 +40,21 @@ class NullLLM:
         return None
 
 
+def _safe_generate(provider: LLMProvider, prompt: str, max_tokens: int) -> Optional[str]:
+    """Providers should return None on failure, but the degradation contract
+    (reference rag_backend.py:554-557) must hold even if one raises."""
+    if not provider.available():
+        return None
+    try:
+        return provider.generate(prompt, max_tokens=max_tokens)
+    except Exception as e:  # noqa: BLE001 — any provider failure degrades
+        log.warning("LLM provider %s failed: %s", getattr(provider, "name", "?"), e)
+        return None
+
+
 def normalize_query(provider: LLMProvider, question: str) -> List[str]:
     """Return [corrected, alt1, alt2]; degrades to [question]."""
-    text = provider.generate(QUERY_NORMALIZE.format(question=question), max_tokens=256) \
-        if provider.available() else None
+    text = _safe_generate(provider, QUERY_NORMALIZE.format(question=question), 256)
     if not text:
         return [question]
     lines = [ln.strip().lstrip("0123456789.- ") for ln in text.splitlines() if ln.strip()]
@@ -58,7 +69,7 @@ def normalize_query(provider: LLMProvider, question: str) -> List[str]:
 def synthesize_answer(provider: LLMProvider, question: str, parents, related_queries=()) -> str:
     """Answer from parent contexts; degrades to concatenated context."""
     prompt = build_answer_prompt(question, parents, related_queries)
-    text = provider.generate(prompt) if provider.available() else None
+    text = _safe_generate(provider, prompt, 1024)
     if text:
         return text.strip()
     if parents:
@@ -69,9 +80,7 @@ def synthesize_answer(provider: LLMProvider, question: str, parents, related_que
 
 def chunk_context(provider: LLMProvider, document_excerpt: str, chunk_text: str) -> Optional[str]:
     """Optional succinct chunk context; None when unavailable."""
-    if not provider.available():
-        return None
-    text = provider.generate(chunk_context_prompt(document_excerpt, chunk_text), max_tokens=128)
+    text = _safe_generate(provider, chunk_context_prompt(document_excerpt, chunk_text), 128)
     if text:
         return text.strip()[:300]
     return None

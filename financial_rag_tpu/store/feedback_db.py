@@ -185,6 +185,38 @@ class FeedbackDatabase:
             for q, t in rows if (t - mean) / std > z_threshold
         ]
 
+    def session_journeys(self, window_s: float = 7 * 24 * 3600,
+                         max_sessions: int = 50) -> Dict[str, List[str]]:
+        """Per-session ordered query sequences (reference AdvancedAnalytics
+        session journey capability)."""
+        cutoff = time.time() - window_s
+        rows = self._conn().execute(
+            """SELECT session_id, query FROM query_feedback
+               WHERE timestamp >= ? AND session_id IS NOT NULL
+               ORDER BY timestamp""", (cutoff,)).fetchall()
+        journeys: Dict[str, List[str]] = {}
+        for sid, q in rows:
+            journeys.setdefault(sid, []).append(q)
+            if len(journeys) > max_sessions:
+                break
+        return journeys
+
+    def strategy_transitions(self, window_s: float = 7 * 24 * 3600) -> Dict[str, int]:
+        """Counts of strategy A->B transitions within sessions."""
+        cutoff = time.time() - window_s
+        rows = self._conn().execute(
+            """SELECT session_id, strategy FROM query_feedback
+               WHERE timestamp >= ? AND session_id IS NOT NULL AND strategy IS NOT NULL
+               ORDER BY session_id, timestamp""", (cutoff,)).fetchall()
+        out: Dict[str, int] = {}
+        prev_sid = prev_strat = None
+        for sid, strat in rows:
+            if sid == prev_sid and prev_strat is not None:
+                key = f"{prev_strat}->{strat}"
+                out[key] = out.get(key, 0) + 1
+            prev_sid, prev_strat = sid, strat
+        return out
+
     def optimization_suggestions(self) -> List[str]:
         out: List[str] = []
         summary = self.performance_summary()

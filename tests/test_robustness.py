@@ -1,0 +1,211 @@
+"""Concurrency safety and failure-injection tests (SURVEY.md §5.2-5.3: the
+reference has essentially no concurrency safety and degrades layer by
+layer; this framework must do both deliberately)."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from financial_rag_tpu.index import FlatIndex
+from financial_rag_tpu.llm.provider import (
+    NullLLM,
+    chunk_context,
+    normalize_query,
+    synthesize_answer,
+)
+from financial_rag_tpu.store.feedback_db import FeedbackDatabase
+
+
+class _ExplodingLLM:
+    name = "exploding"
+
+    def available(self) -> bool:
+        return True
+
+    def generate(self, prompt, *, max_tokens=1024):
+        raise ConnectionError("network down")
+
+
+class _NoneLLM:
+    """Available but returns None (provider exhausted retries)."""
+
+    name = "nonellm"
+
+    def available(self) -> bool:
+        return True
+
+    def generate(self, prompt, *, max_tokens=1024):
+        return None
+
+
+class TestConcurrency:
+    def test_concurrent_upsert_and_search(self, rng):
+        idx = FlatIndex(dim=64, capacity=2048, dtype=np.float32)
+        errors = []
+
+        def writer(base):
+            try:
+                for i in range(10):
+                    v = rng.standard_normal((8, 64)).astype(np.float32)
+                    ids = np.arange(base + i * 8, base + i * 8 + 8, dtype=np.int64) + 1
+                    idx.upsert(ids, v)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def reader():
+            try:
+                for _ in range(20):
+                    q = rng.standard_normal((2, 64)).astype(np.float32)
+                    idx.search(q, 5)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w * 1000,)) for w in range(4)]
+        threads += [threading.Thread(target=reader) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert idx.count() == 4 * 10 * 8
+
+    def test_concurrent_feedback_db(self, tmp_path):
+        db = FeedbackDatabase(tmp_path / "f.db")
+        errors = []
+
+        def worker(wid):
+            try:
+                for i in range(20):
+                    db.store_feedback(query=f"q{wid}-{i}", rating=3,
+                                      session_id=f"s{wid}", response_time_s=0.1)
+                    db.cache_put(f"h{wid}-{i}", "q", {"a": i})
+                    db.cache_get(f"h{wid}-{i}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(w,)) for w in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert db.performance_summary()["total_queries"] == 120
+
+    def test_concurrent_engine_queries(self, tmp_path):
+        from financial_rag_tpu.engine import RAGEngine
+        from financial_rag_tpu.ingest.pipeline import IngestionPipeline
+        from financial_rag_tpu.models.encoder import DualEncoder
+        from financial_rag_tpu.models.hashing import HashingEncoder
+        from financial_rag_tpu.retrieval.hybrid import HybridRetriever
+        from financial_rag_tpu.store import ChildMetaStore, ParentStore
+
+        enc = DualEncoder({"a": HashingEncoder(dim=64)})
+        indexes = {"a": FlatIndex(dim=64, capacity=1024)}
+        ps, cm = ParentStore(tmp_path / "p.db"), ChildMetaStore(tmp_path / "c.db")
+        pipe = IngestionPipeline(enc, ps, cm, indexes)
+        f = tmp_path / "d.json"
+        f.write_text(json.dumps({"blocks": [
+            {"content": "the rent is 42800 rupees per month for the second year. " * 10,
+             "page": 0}]}))
+        pipe.ingest_extracted_json(f, "doc")
+        engine = RAGEngine(HybridRetriever(enc, indexes, cm), ps)
+
+        results, errors = [], []
+
+        def q(i):
+            try:
+                results.append(engine.query(f"rent amount variant {i}"))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=q, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert all(r["success"] for r in results)
+
+
+class TestFailureDegradation:
+    def test_llm_exception_degrades_each_hook(self):
+        """Every LLM touchpoint must survive a provider that raises."""
+        llm = _ExplodingLLM()
+        assert normalize_query(llm, "what is rent") == ["what is rent"] or True
+        # normalize_query lets exceptions escape? It must not:
+        try:
+            out = normalize_query(llm, "what is rent")
+        except ConnectionError:
+            pytest.fail("normalize_query leaked provider exception")
+        assert out == ["what is rent"]
+
+        try:
+            ans = synthesize_answer(llm, "q", [{"content": "ctx one"}])
+        except ConnectionError:
+            pytest.fail("synthesize_answer leaked provider exception")
+        assert "ctx one" in ans
+
+        try:
+            ctx = chunk_context(llm, "doc", "chunk")
+        except ConnectionError:
+            pytest.fail("chunk_context leaked provider exception")
+        assert ctx is None
+
+    def test_llm_none_returns_fallbacks(self):
+        llm = _NoneLLM()
+        assert normalize_query(llm, "q") == ["q"]
+        assert "No relevant context" in synthesize_answer(llm, "q", [])
+        assert chunk_context(llm, "d", "c") is None
+
+    def test_engine_error_becomes_answer(self, tmp_path):
+        from financial_rag_tpu.engine import RAGEngine
+        from financial_rag_tpu.store import ParentStore
+
+        class BrokenHybrid:
+            indexes = {}
+
+            def retrieve_children(self, *a, **k):
+                raise RuntimeError("index exploded")
+
+        engine = RAGEngine(BrokenHybrid(), ParentStore(tmp_path / "p.db"))
+        out = engine.query("anything")
+        assert out["success"] is False
+        assert "index exploded" in out["answer"]
+
+    def test_ingest_isolates_bad_files(self, tmp_path):
+        from financial_rag_tpu.index import FlatIndex as FI
+        from financial_rag_tpu.ingest.pipeline import IngestionPipeline
+        from financial_rag_tpu.models.encoder import DualEncoder
+        from financial_rag_tpu.models.hashing import HashingEncoder
+        from financial_rag_tpu.store import ChildMetaStore, ParentStore
+
+        enc = DualEncoder({"a": HashingEncoder(dim=32)})
+        pipe = IngestionPipeline(enc, ParentStore(tmp_path / "p.db"),
+                                 ChildMetaStore(tmp_path / "c.db"),
+                                 {"a": FI(dim=32, capacity=1024)})
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "bad.json").write_text("{broken")
+        (d / "good.json").write_text(json.dumps(
+            {"blocks": [{"content": "valid content for ingestion here. " * 10, "page": 0}]}))
+        results = pipe.ingest_directory(d)
+        by_id = {r["document_id"]: r for r in results}
+        assert "error" in by_id["bad"]
+        assert by_id["good"]["children"] >= 1
+
+
+class TestAnalyticsExtras:
+    def test_session_journeys_and_transitions(self, tmp_path):
+        db = FeedbackDatabase(tmp_path / "f.db")
+        db.store_feedback(query="q1", session_id="s1", strategy="Specific")
+        db.store_feedback(query="q2", session_id="s1", strategy="Aggregation")
+        db.store_feedback(query="q3", session_id="s1", strategy="Aggregation")
+        db.store_feedback(query="qx", session_id="s2", strategy="Specific")
+        j = db.session_journeys()
+        assert j["s1"] == ["q1", "q2", "q3"]
+        t = db.strategy_transitions()
+        assert t["Specific->Aggregation"] == 1
+        assert t["Aggregation->Aggregation"] == 1
+        assert "Specific->Specific" not in t
