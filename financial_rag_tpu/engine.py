@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 from financial_rag_tpu.config import FrameworkConfig
 from financial_rag_tpu.llm.prompts import build_answer_prompt

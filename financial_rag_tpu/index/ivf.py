@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import threading
-from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 

@@ -17,7 +17,7 @@ reference (pipeline mv_enabled=False / CHILD_USE_MULTIVECTOR gate).
 from __future__ import annotations
 
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import html as html_mod
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from financial_rag_tpu.config import ChunkingConfig

@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import re
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 _PAGE_ID_RE = re.compile(r"^/page/(\d+)/")
 

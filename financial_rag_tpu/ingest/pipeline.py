@@ -20,7 +20,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from financial_rag_tpu.config import ChunkingConfig
 from financial_rag_tpu.index.flat import FlatIndex
 from financial_rag_tpu.ingest.chunker import ChildChunk, ParentChildChunker, ParentChunk
 from financial_rag_tpu.ingest.marker_json import parse_marker_json

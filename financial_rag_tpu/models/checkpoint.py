@@ -11,7 +11,6 @@ git-LFS pointer stubs for model.safetensors).
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Dict, Mapping, Optional
 

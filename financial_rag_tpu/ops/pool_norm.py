@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from financial_rag_tpu.ops.common import cdiv, default_interpret, round_up
+from financial_rag_tpu.ops.common import default_interpret, round_up
 
 
 def _pool_norm_kernel(hidden_ref, mask_ref, out_ref):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from financial_rag_tpu.ops.common import cdiv, default_interpret, round_up
+from financial_rag_tpu.ops.common import default_interpret, round_up
 
 NEG = -3.0e4  # below any cosine similarity; safe in bf16/f32
 

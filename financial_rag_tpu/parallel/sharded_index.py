@@ -16,8 +16,7 @@ sweeps the same number of rows (balanced HBM streams).
 from __future__ import annotations
 
 import threading
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
