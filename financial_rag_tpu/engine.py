@@ -173,6 +173,12 @@ class RAGEngine:
                 "parents": len(parents),
                 "filter_active": f.active,
             },
+            # kept for response-schema compatibility with the reference
+            # (rag_backend.py:1291-1330); always None/simple in the live path
+            "optimization_result": None,
+            "savings_info": None,
+            "processing_method": "simple",
+            "hierarchical_stats": None,
             "agent_used": "Single-Strategy",
             "success": True,
         }

@@ -1,0 +1,48 @@
+"""Smoke tests for the operational CLI scripts (subprocess, CPU backend)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(script, args, cwd):
+    env = dict(os.environ)
+    env["FRAG_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
+
+
+@pytest.mark.slow
+def test_ingest_check_fullflow_chain(tmp_path):
+    docs = tmp_path / "New folder"
+    docs.mkdir()
+    (docs / "lease.json").write_text(json.dumps({"blocks": [
+        {"content": "The rent for the second year is Rs 42,800 per month. "
+                    "The lock-in period is 36 months. " * 6, "page": 0}]}))
+
+    r = _run("ingest_all.py", ["--dir", "New folder", "--data-dir", "."], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ingested 1 documents" in r.stdout
+    assert "parents.db: 1 parents" in r.stdout
+
+    r2 = _run("check_collections.py", ["--data-dir", "."], tmp_path)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "parents.db: 1 parents" in r2.stdout
+
+    r3 = _run("test_full_flow.py",
+              ["--data-dir", ".", "--questions", "What is the rent for the second year?"],
+              tmp_path)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "42,800" in r3.stdout
+    logs = list((tmp_path / "test_logs").glob("fullflow_*.json"))
+    assert logs
+    payload = json.loads(logs[0].read_text())
+    assert payload["token_accounting"]["prompt_tokens"] > 0
