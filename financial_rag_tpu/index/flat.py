@@ -139,7 +139,14 @@ class FlatIndex:
 
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
         slots_d = jnp.asarray(slots)
-        self._vectors = self._vectors.at[slots_d].set(jnp.asarray(vectors, self.dtype))
+        if self.dtype == jnp.int8:
+            from financial_rag_tpu.ops.topk import INT8_SCALE
+
+            vecs = jnp.asarray(
+                np.clip(np.round(vectors * INT8_SCALE), -127, 127).astype(np.int8))
+        else:
+            vecs = jnp.asarray(vectors, self.dtype)
+        self._vectors = self._vectors.at[slots_d].set(vecs)
         self._valid = self._valid.at[slots_d].set(valid)
 
     def _grow(self) -> None:

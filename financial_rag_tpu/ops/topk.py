@@ -32,6 +32,28 @@ from financial_rag_tpu.ops.common import default_interpret, round_up
 
 NEG = -3.0e4  # below any cosine similarity; safe in bf16/f32
 
+INT8_SCALE = 127.0  # symmetric per-element quantization of unit vectors
+
+
+def _tile_scores(q, x):
+    """Similarity of a query block against a corpus tile, in cosine range.
+
+    bf16/f32 corpus: bf16-in/f32-out MXU dot. int8 corpus (and int8-quantized
+    queries): exact int8xint8->int32 MXU dot rescaled by 1/127^2 — halves the
+    HBM stream for ~0.3% cosine error on 384-d unit vectors.
+    """
+    if x.dtype == jnp.int8:
+        s = jnp.dot(q, x.T, preferred_element_type=jnp.int32)
+        return s.astype(jnp.float32) * (1.0 / (INT8_SCALE * INT8_SCALE))
+    return jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+
+
+def quantize_queries(queries: jnp.ndarray, corpus_dtype) -> jnp.ndarray:
+    """Match query dtype to the corpus: int8 rounds (not truncates)."""
+    if corpus_dtype == jnp.int8:
+        return jnp.clip(jnp.round(queries * INT8_SCALE), -127, 127).astype(jnp.int8)
+    return queries.astype(corpus_dtype)
+
 
 def _merge_topk(cand_scores, cand_idx, k: int):
     """Exact top-k of each row of cand_scores via k-step extraction.
@@ -73,7 +95,7 @@ def _topk_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, k: int, block
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)  # [Bq, T]
+    scores = _tile_scores(q_ref[:], x_ref[:])  # [Bq, T]
     scores = scores + (valid_ref[:] - 1.0) * 1.0e5                              # mask empty slots
 
     bq, t = scores.shape
@@ -128,7 +150,7 @@ def topk_matmul(
             jax.ShapeDtypeStruct((bqp, kpad), jnp.int32),
         ),
         interpret=interpret,
-    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
     return out_s[:bq, :k], out_i[:bq, :k]
 
 
@@ -140,7 +162,7 @@ def _bucketed_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, block_n: 
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)  # [Bq, T]
+    scores = _tile_scores(q_ref[:], x_ref[:])  # [Bq, T]
     scores = scores + (valid_ref[:] - 1.0) * 1.0e5
 
     bq, t = scores.shape
@@ -165,7 +187,7 @@ def _bucketed_fused_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref,
         bs_ref[:] = jnp.full_like(bs_ref, NEG)
         bi_ref[:] = jnp.full_like(bi_ref, -1)
 
-    scores = jnp.dot(q_ref[:], x_ref[:].T, preferred_element_type=jnp.float32)
+    scores = _tile_scores(q_ref[:], x_ref[:])
     scores = scores + (valid_ref[:] - 1.0) * 1.0e5
     bq, t = scores.shape
     local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
@@ -234,7 +256,7 @@ def bucketed_topk_fused(
             pltpu.VMEM((block_q, nbuckets), jnp.int32),
         ],
         interpret=interpret,
-    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
     return out_s[:bq, :k], out_i[:bq, :k]
 
 
@@ -294,7 +316,7 @@ def bucketed_topk(
             jax.ShapeDtypeStruct((bqp, nbuckets), jnp.int32),
         ),
         interpret=interpret,
-    )(queries.astype(qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
 
     top_s, pos = jax.lax.top_k(bucket_s[:bq], k)
     top_i = jnp.take_along_axis(bucket_i[:bq], pos, axis=1)
@@ -319,7 +341,7 @@ def topk_matmul_reference(
     n = corpus.shape[0]
     chunk = min(chunk, n)
     assert n % chunk == 0, f"corpus rows {n} must be a multiple of chunk {chunk}"
-    q = queries.astype(corpus.dtype)
+    q = quantize_queries(queries, corpus.dtype)
     num_chunks = n // chunk
 
     corpus_r = corpus.reshape(num_chunks, chunk, d)
@@ -328,7 +350,7 @@ def topk_matmul_reference(
     def step(carry, inp):
         run_s, run_i = carry
         x, v, j = inp
-        s = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        s = _tile_scores(q, x)
         s = s + (v[None, :] - 1.0) * 1.0e5
         idx = jnp.arange(chunk, dtype=jnp.int32)[None, :] + j * chunk
         cand_s = jnp.concatenate([run_s, s], axis=1)

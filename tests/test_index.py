@@ -49,6 +49,28 @@ class TestFlatIndex:
                           for a, b in zip(got_ids, ref)])
         assert recall >= 0.95, recall
 
+    def test_int8_storage_recall(self):
+        """int8-quantized corpus: half the HBM stream, near-identical recall."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        d, n, k = 384, 3000, 10
+        x = _unit(rng, n, d)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx = FlatIndex(dim=d, capacity=4096, dtype=jnp.int8)
+        idx.upsert(ids, x)
+        q = _unit(rng, 8, d)
+        got_ids, got_scores = idx.search(q, k)
+        order, ref_scores = _oracle(q, x, k)
+        ref = ids[order]
+        recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                          for a, b in zip(got_ids, ref)])
+        assert recall >= 0.9, recall
+        # rescaled scores stay in cosine range and track the true scores
+        finite = np.isfinite(got_scores)
+        assert np.all(got_scores[finite] <= 1.05)
+        assert abs(float(got_scores[0, 0]) - float(ref_scores[0, 0])) < 0.05
+
     def test_overwrite_same_id(self, rng):
         d = 128
         idx = FlatIndex(dim=d, capacity=1024, dtype=np.float32)
