@@ -26,29 +26,30 @@ from financial_rag_tpu.ops.common import default_interpret
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, head_dim: int):
-    """One batch element, all heads. refs: [1, S, H], bias: [1, 1, S] additive."""
-    s = q_ref.shape[1]
+    """One batch element, all heads. refs: [1, S, H], bias: [1, 1, S] additive.
+
+    Heads unroll as a static Python loop: Mosaic does not lower
+    dynamic_slice, and static slices let the compiler schedule all head
+    matmuls back-to-back on the MXU.
+    """
     scale = 1.0 / (head_dim ** 0.5)
     bias = bias_ref[0, 0, :]                    # [S]
     qf = q_ref[0]                               # [S, H]
     kf = k_ref[0]
     vf = v_ref[0]
 
-    def one_head(g, _):
-        lo = pl.multiple_of(g * head_dim, head_dim)
-        q = jax.lax.dynamic_slice(qf, (0, lo), (s, head_dim))
-        k = jax.lax.dynamic_slice(kf, (0, lo), (s, head_dim))
-        v = jax.lax.dynamic_slice(vf, (0, lo), (s, head_dim))
+    for g in range(num_heads):
+        lo = g * head_dim
+        q = qf[:, lo: lo + head_dim]
+        k = kf[:, lo: lo + head_dim]
+        v = vf[:, lo: lo + head_dim]
         scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         scores = scores + bias[None, :]
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(vf.dtype), v, preferred_element_type=jnp.float32)
-        out_ref[0, :, pl.ds(lo, head_dim)] = o.astype(out_ref.dtype)
-        return _
-
-    jax.lax.fori_loop(0, num_heads, one_head, None)
+        out_ref[0, :, lo: lo + head_dim] = o.astype(out_ref.dtype)
 
 
 def flash_attention(

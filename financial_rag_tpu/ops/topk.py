@@ -176,10 +176,15 @@ def _bucketed_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, block_n: 
 
 
 def _bucketed_fused_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref,
-                           bs_ref, bi_ref, *, k: int, block_n: int, nbuckets: int):
+                           bs_ref, bi_ref, *, k: int, block_n: int, nphases: int):
     """Bucketed running max with the final k-extraction fused into the last
-    grid step, so only [Bq, kpad] leaves the kernel (bucket buffers live in
-    VMEM scratch for the whole corpus sweep)."""
+    grid step, so only [Bq, kpad] leaves the kernel.
+
+    Bucket buffers live in VMEM scratch shaped [nphases, Bq, block_n]: tile
+    j updates phase j % nphases via a LEADING-dim dynamic index (cheap),
+    never a dynamic lane-offset slice (which lowers to slow unaligned
+    vector shuffles).
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -191,16 +196,18 @@ def _bucketed_fused_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref,
     scores = scores + (valid_ref[:] - 1.0) * 1.0e5
     bq, t = scores.shape
     local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
-    off = pl.multiple_of(jax.lax.rem(j * block_n, nbuckets), block_n)
-    seg_s = bs_ref[:, pl.ds(off, t)]
-    seg_i = bi_ref[:, pl.ds(off, t)]
+    phase = jax.lax.rem(j, nphases)
+    seg_s = bs_ref[phase]
+    seg_i = bi_ref[phase]
     better = scores > seg_s
-    bs_ref[:, pl.ds(off, t)] = jnp.where(better, scores, seg_s)
-    bi_ref[:, pl.ds(off, t)] = jnp.where(better, local, seg_i)
+    bs_ref[phase] = jnp.where(better, scores, seg_s)
+    bi_ref[phase] = jnp.where(better, local, seg_i)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        top_s, top_i = _merge_topk(bs_ref[:], bi_ref[:], k)
+        cand_s = jnp.concatenate([bs_ref[p] for p in range(nphases)], axis=1)
+        cand_i = jnp.concatenate([bi_ref[p] for p in range(nphases)], axis=1)
+        top_s, top_i = _merge_topk(cand_s, cand_i, k)
         out_s_ref[:] = top_s
         out_i_ref[:] = top_i
 
@@ -235,8 +242,9 @@ def bucketed_topk_fused(
     qdt = corpus.dtype
     grid = (bqp // block_q, n // block_n)
 
+    nphases = nbuckets // block_n
     out_s, out_i = pl.pallas_call(
-        partial(_bucketed_fused_kernel, k=k, block_n=block_n, nbuckets=nbuckets),
+        partial(_bucketed_fused_kernel, k=k, block_n=block_n, nphases=nphases),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -252,8 +260,8 @@ def bucketed_topk_fused(
             jax.ShapeDtypeStruct((bqp, kpad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, nbuckets), jnp.float32),
-            pltpu.VMEM((block_q, nbuckets), jnp.int32),
+            pltpu.VMEM((nphases, block_q, block_n), jnp.float32),
+            pltpu.VMEM((nphases, block_q, block_n), jnp.int32),
         ],
         interpret=interpret,
     )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
