@@ -68,8 +68,12 @@ class Encoder:
         self.batch_size = batch_size
         self.max_seq_len = max_seq_len
         on_tpu = jax.default_backend() == "tpu"
+        self._on_tpu = on_tpu
         self.compute_dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
-        self.attention_impl = attention_impl or "xla"
+        # "auto": fused Pallas attention wins at long sequences (1.76x at
+        # s=512 on v5e); at s<256 the [S,S] tiles are small enough that
+        # XLA's fused path is faster
+        self.attention_impl = attention_impl or "auto"
         self.use_pallas_pool = on_tpu if use_pallas_pool is None else use_pallas_pool
         self._fns: Dict[int, object] = {}
 
@@ -88,12 +92,15 @@ class Encoder:
     def _fn(self, seq_len: int):
         fn = self._fns.get(seq_len)
         if fn is None:
+            impl = self.attention_impl
+            if impl == "auto":
+                impl = "pallas" if (self._on_tpu and seq_len >= 256) else "xla"
             fn = jax.jit(partial(
                 bert_encode,
                 config=self.config,
                 pooling=self.pooling,
                 compute_dtype=self.compute_dtype,
-                attention_impl=self.attention_impl,
+                attention_impl=impl,
                 use_pallas_pool=self.use_pallas_pool,
             ))
             self._fns[seq_len] = fn
