@@ -27,7 +27,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from financial_rag_tpu.models.encoder import setup_compilation_cache
-    from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul_reference
+    from financial_rag_tpu.ops.topk import bucketed_topk_fused, topk_matmul_reference
 
     setup_compilation_cache()
     backend = jax.default_backend()
@@ -50,7 +50,7 @@ def main() -> None:
     vd = jnp.asarray(valid)
 
     if on_tpu:
-        raw = lambda qq: bucketed_topk(qq, xd, vd, k, interpret=False)  # noqa: E731
+        raw = lambda qq: bucketed_topk_fused(qq, xd, vd, k, interpret=False)  # noqa: E731
     else:
         raw = lambda qq: topk_matmul_reference(qq, xd, vd, k)  # noqa: E731
 

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from financial_rag_tpu.ops.common import round_up
-from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul, topk_matmul_reference
+from financial_rag_tpu.ops.topk import (
+    bucketed_topk,
+    bucketed_topk_fused,
+    topk_matmul,
+    topk_matmul_reference,
+)
 from financial_rag_tpu.utils import get_logger
 
 log = get_logger("index.flat")
@@ -57,7 +62,7 @@ class FlatIndex:
         self.name = name
         self.nbuckets = nbuckets
         if backend == "auto":
-            backend = "pallas_bucketed" if jax.default_backend() == "tpu" else "xla"
+            backend = "pallas_fused" if jax.default_backend() == "tpu" else "xla"
         self.backend = backend
 
         self._vectors = jnp.zeros((self.capacity, dim), dtype)
@@ -164,7 +169,9 @@ class FlatIndex:
         key = (self.backend, self.capacity, k)
         fn = self._search_fns.get(key)
         if fn is None:
-            if self.backend == "pallas_bucketed":
+            if self.backend == "pallas_fused":
+                raw = partial(bucketed_topk_fused, k=k, nbuckets=self.nbuckets, interpret=False)
+            elif self.backend == "pallas_bucketed":
                 raw = partial(bucketed_topk, k=k, nbuckets=self.nbuckets, interpret=False)
             elif self.backend == "pallas_exact":
                 raw = partial(topk_matmul, k=k, interpret=False)
