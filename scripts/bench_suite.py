@@ -36,7 +36,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from financial_rag_tpu.models.encoder import setup_compilation_cache
-    from financial_rag_tpu.ops.topk import bucketed_topk, topk_matmul
+    from financial_rag_tpu.ops.topk import bucketed_topk_fused, topk_matmul
 
     setup_compilation_cache()
     backend = jax.default_backend()
@@ -58,7 +58,7 @@ def main() -> None:
         vd = jnp.ones((n,), jnp.float32)
 
         configs = {
-            "bucketed": lambda qq: bucketed_topk(qq, xd, vd, k, interpret=False),
+            "bucketed_fused": lambda qq: bucketed_topk_fused(qq, xd, vd, k, interpret=False),
             "exact_pallas": lambda qq: topk_matmul(qq, xd, vd, k, interpret=False),
         }
         if backend != "tpu":
