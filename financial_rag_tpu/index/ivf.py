@@ -122,7 +122,12 @@ class IVFIndex:
         return np.argsort(-sims, axis=1, kind="stable")[:, :depth]
 
     def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
-        assert self.is_trained, "IVFIndex.train() must run before upsert()"
+        if not self.is_trained:
+            # auto-train on the first batch (k-means needs some corpus; a
+            # small first batch still works — duplicated centroids are
+            # handled by the empty-cluster rule)
+            log.info("IVF auto-training on first upsert batch (%d vectors)", len(vectors))
+            self.train(np.asarray(vectors, np.float32))
         vectors = np.asarray(vectors, np.float32)
         vectors = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
         cand = self._assignments(vectors)

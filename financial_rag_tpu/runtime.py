@@ -96,6 +96,10 @@ class Runtime:
         shards = cfg.mesh.index_shards
         persist = data_dir / cfg.index.persist_dir
         indexes: Dict[str, FlatIndex] = {}
+        import jax.numpy as jnp
+
+        index_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                       "int8": jnp.int8}.get(cfg.index.dtype, jnp.bfloat16)
         for name in dual.names:
             coll = collection_slug(getattr(cfg.encoders, f"{name}_name", name))
             dim = getattr(encoders[name], "dim", cfg.index.dim)
@@ -107,13 +111,26 @@ class Runtime:
                 indexes[name] = ShardedFlatIndex(
                     mesh, dim=dim,
                     capacity_per_shard=max(cfg.index.capacity // shards, 1024),
-                    name=coll)
+                    dtype=index_dtype, name=coll)
                 log.info("index %s: sharded over %d devices", coll, shards)
+            elif cfg.index.kind == "ivf":
+                from financial_rag_tpu.index.ivf import IVFIndex
+
+                if (persist / f"{coll}_ivf.manifest.json").exists():
+                    indexes[name] = IVFIndex.load(persist, name=f"{coll}_ivf")
+                    log.info("ivf index %s: reloaded %d vectors", coll,
+                             indexes[name].count())
+                else:
+                    indexes[name] = IVFIndex(
+                        dim=dim, nlist=cfg.index.ivf_nlist,
+                        list_size=max(cfg.index.capacity // cfg.index.ivf_nlist * 2, 128),
+                        nprobe=cfg.index.ivf_nprobe, name=f"{coll}_ivf")
             elif (persist / f"{coll}.npz").exists():
                 indexes[name] = FlatIndex.load(persist, name=coll)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
-                indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity, name=coll)
+                indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity,
+                                          dtype=index_dtype, name=coll)
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")

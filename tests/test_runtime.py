@@ -53,6 +53,32 @@ class TestRuntime:
         out = rt.engine.query("credit note number")
         assert out["success"] and out["top_children_chunks"]
 
+    def test_ivf_mode(self, tmp_path, monkeypatch, reference_fixture_json):
+        monkeypatch.setenv("INDEX_KIND", "ivf")
+        monkeypatch.setenv("IVF_NLIST", "4")
+        monkeypatch.setenv("IVF_NPROBE", "4")
+        rt = Runtime.build(data_dir=tmp_path)
+        from financial_rag_tpu.index import IVFIndex
+
+        assert all(isinstance(i, IVFIndex) for i in rt.indexes.values())
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")  # auto-trains
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
+    def test_int8_mode(self, tmp_path, monkeypatch, reference_fixture_json):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("INDEX_DTYPE", "int8")
+        rt = Runtime.build(data_dir=tmp_path)
+        assert all(i.dtype == jnp.int8 for i in rt.indexes.values())
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
     def test_make_app_and_processor(self, built):
         from werkzeug.test import Client
 
