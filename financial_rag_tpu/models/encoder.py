@@ -112,6 +112,14 @@ class Encoder:
                 return b
         return self.max_seq_len
 
+    def _batch_bucket(self, n: int) -> int:
+        """Pad tiny (query-time) batches to 8/32 instead of the full ingest
+        batch — a 3-variant query encode shouldn't pay for 128 rows."""
+        for b in (8, 32):
+            if n <= b and b < self.batch_size:
+                return b
+        return self.batch_size
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         """Encode texts -> [N, dim] float32 unit vectors (input order)."""
         if not len(texts):
@@ -129,8 +137,9 @@ class Encoder:
             for lo in range(0, len(idxs), self.batch_size):
                 batch_idx = idxs[lo: lo + self.batch_size]
                 n = len(batch_idx)
-                ids = np.full((self.batch_size, seq_len), pad_id, np.int32)
-                mask = np.zeros((self.batch_size, seq_len), np.int32)
+                bsz = self._batch_bucket(n)
+                ids = np.full((bsz, seq_len), pad_id, np.int32)
+                mask = np.zeros((bsz, seq_len), np.int32)
                 for r, i in enumerate(batch_idx):
                     s = seqs[i][:seq_len]
                     ids[r, : len(s)] = s
