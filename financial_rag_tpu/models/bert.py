@@ -73,7 +73,8 @@ def _attention_xla(q, k, v, mask_bias, num_heads: int):
     return out.transpose(0, 2, 1, 3).reshape(b, s, h).astype(q.dtype)
 
 
-def _encoder_layer(x, mask_bias, lp, *, num_heads: int, eps: float, attention_impl: str):
+def _encoder_layer(x, mask_bias, lp, *, num_heads: int, eps: float,
+                   attention_impl: str, use_fused_ffn: bool):
     """One post-LN BERT layer. lp: this layer's slice of the stacked params."""
     dt = x.dtype
     q = jnp.dot(x, lp["q_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["q_b"].astype(dt)
@@ -90,9 +91,17 @@ def _encoder_layer(x, mask_bias, lp, *, num_heads: int, eps: float, attention_im
     attn = jnp.dot(attn, lp["o_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["o_b"].astype(dt)
     x = _layer_norm(x + attn, lp["attn_ln_scale"], lp["attn_ln_bias"], eps)
 
-    h = jnp.dot(x, lp["ffn_in_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["ffn_in_b"].astype(dt)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
-    h = jnp.dot(h, lp["ffn_out_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["ffn_out_b"].astype(dt)
+    if use_fused_ffn:
+        # fused dot->gelu->dot keeps the [.., intermediate] activation in
+        # VMEM (the XLA path materializes ~200MB of it in HBM per layer)
+        from financial_rag_tpu.ops.fused_ffn import fused_ffn
+
+        h = fused_ffn(x, lp["ffn_in_w"], lp["ffn_in_b"],
+                      lp["ffn_out_w"], lp["ffn_out_b"])
+    else:
+        h = jnp.dot(x, lp["ffn_in_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["ffn_in_b"].astype(dt)
+        h = jax.nn.gelu(h, approximate=False)
+        h = jnp.dot(h, lp["ffn_out_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["ffn_out_b"].astype(dt)
     x = _layer_norm(x + h, lp["ffn_ln_scale"], lp["ffn_ln_bias"], eps)
     return x
 
@@ -106,8 +115,11 @@ def bert_forward(
     config: ModelConfig,
     compute_dtype=jnp.float32,
     attention_impl: str = "xla",
+    use_fused_ffn: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full encoder stack -> last hidden states [B, S, H]."""
+    if use_fused_ffn is None:
+        use_fused_ffn = attention_impl == "pallas"
     emb = params["embeddings"]
     b, s = input_ids.shape
     if token_type_ids is None:
@@ -128,6 +140,7 @@ def bert_forward(
         num_heads=config.num_heads,
         eps=config.layer_norm_eps,
         attention_impl=attention_impl,
+        use_fused_ffn=use_fused_ffn,
     )
 
     def scan_body(h, lp):
@@ -172,11 +185,13 @@ def bert_encode(
     compute_dtype=jnp.float32,
     attention_impl: str = "xla",
     use_pallas_pool: bool = False,
+    use_fused_ffn: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sentence-embedding forward: encoder stack -> pool -> L2 norm. [B, H] f32."""
     hidden = bert_forward(
         params, input_ids, attention_mask, token_type_ids,
         config=config, compute_dtype=compute_dtype, attention_impl=attention_impl,
+        use_fused_ffn=use_fused_ffn,
     )
     return pool_hidden(hidden, attention_mask, pooling, use_pallas=use_pallas_pool)
 
@@ -190,6 +205,7 @@ def cross_encoder_forward(
     config: ModelConfig,
     compute_dtype=jnp.float32,
     attention_impl: str = "xla",
+    use_fused_ffn: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sequence-classification forward (relevance logits [B]).
 
@@ -201,6 +217,7 @@ def cross_encoder_forward(
     hidden = bert_forward(
         params, input_ids, attention_mask, token_type_ids,
         config=config, compute_dtype=compute_dtype, attention_impl=attention_impl,
+        use_fused_ffn=use_fused_ffn,
     )
     cls = hidden[:, 0, :].astype(jnp.float32)
     pooled = jnp.tanh(cls @ params["pooler"]["w"] + params["pooler"]["b"])

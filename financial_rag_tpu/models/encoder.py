@@ -102,6 +102,7 @@ class Encoder:
                 compute_dtype=self.compute_dtype,
                 attention_impl=impl,
                 use_pallas_pool=self.use_pallas_pool,
+                use_fused_ffn=self._on_tpu,
             ))
             self._fns[seq_len] = fn
         return fn
@@ -177,10 +178,13 @@ class TokenEncoder:
             mask = np.zeros((1, pad_to), np.int32)
             ids[0, :n] = seq
             mask[0, :n] = 1
+            impl = enc.attention_impl
+            if impl == "auto":
+                impl = "xla"  # batch-1 short sequences: kernel overhead loses
             hidden = bert_forward(
                 enc.params, jnp.asarray(ids), jnp.asarray(mask),
                 config=enc.config, compute_dtype=enc.compute_dtype,
-                attention_impl=enc.attention_impl)
+                attention_impl=impl)
             vecs = np.asarray(hidden[0, 1: n - 1], np.float32)  # drop CLS/SEP
             if len(vecs) == 0:
                 vecs = np.asarray(hidden[0, :1], np.float32)

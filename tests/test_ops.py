@@ -173,6 +173,45 @@ class TestBucketedTopk:
         assert recall >= 0.95, recall
 
 
+class TestFusedFFN:
+    def test_matches_xla_reference(self, rng):
+        from financial_rag_tpu.ops.fused_ffn import fused_ffn
+
+        b, s, h, i = 2, 40, 128, 512
+        x = rng.standard_normal((b, s, h)).astype(np.float32)
+        w1 = rng.standard_normal((h, i)).astype(np.float32) * 0.05
+        b1 = rng.standard_normal(i).astype(np.float32) * 0.05
+        w2 = rng.standard_normal((i, h)).astype(np.float32) * 0.05
+        b2 = rng.standard_normal(h).astype(np.float32) * 0.05
+        got = np.asarray(fused_ffn(jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
+                                   jnp.asarray(w2), jnp.asarray(b2), block_t=64))
+        import jax.nn
+
+        ref_tanh = np.asarray(jnp.dot(jax.nn.gelu(jnp.dot(jnp.asarray(x), w1) + b1,
+                                                  approximate=True), w2) + b2)
+        np.testing.assert_allclose(got, ref_tanh, atol=2e-4)
+        # close to the exact-erf formulation too
+        ref_erf = np.asarray(jnp.dot(jax.nn.gelu(jnp.dot(jnp.asarray(x), w1) + b1,
+                                                 approximate=False), w2) + b2)
+        np.testing.assert_allclose(got, ref_erf, atol=2e-2)
+
+    def test_model_integration_pallas_vs_xla(self, rng):
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import bert_encode, random_params
+
+        cfg = ModelConfig(name="tiny", hidden_size=128, num_layers=2, num_heads=4,
+                          intermediate_size=256, vocab_size=300, max_position=64)
+        params = random_params(cfg, seed=0)
+        ids = rng.integers(1, 300, size=(2, 48)).astype(np.int32)
+        mask = np.ones((2, 48), np.int32)
+        a = np.asarray(bert_encode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                   config=cfg, pooling="mean", attention_impl="xla"))
+        b = np.asarray(bert_encode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                   config=cfg, pooling="mean", attention_impl="pallas"))
+        cos = (a * b).sum(-1)
+        assert cos.min() > 0.99999
+
+
 class TestFlashAttention:
     def _ref_attention(self, q, k, v, bias, num_heads):
         b, s, h = q.shape
