@@ -92,6 +92,20 @@ class MultiVectorIndex:
             self._valid = self._valid.at[slots_d].set(1.0)
             self._search_fn = None
 
+    def delete(self, child_ids: Sequence[int]) -> int:
+        with self._lock:
+            slots = []
+            for cid in child_ids:
+                slot = self._slot_of.pop(int(cid), None)
+                if slot is not None:
+                    slots.append(slot)
+                    self._ids[slot] = 0
+            if slots:
+                self._valid = self._valid.at[
+                    jnp.asarray(np.asarray(slots, np.int32))].set(0.0)
+                self._search_fn = None
+            return len(slots)
+
     def _grow(self) -> None:
         pad = self.capacity
         self._tokens = jnp.concatenate(

@@ -156,6 +156,8 @@ class IngestionPipeline:
         cleanup semantics, reference api_server.py:242-278)."""
         child_ids = self.child_meta.children_of_document(document_id)
         removed = {name: idx.delete(child_ids) for name, idx in self.indexes.items()}
+        if self.multivector_index is not None:
+            removed["multivector"] = self.multivector_index.delete(child_ids)
         self.child_meta.delete_document(document_id)
         parents_removed = self.parent_store.delete_document(document_id)
         return {"document_id": document_id, "parents_removed": parents_removed,

@@ -97,6 +97,42 @@ class TestMultiVectorIndex:
         chunks, _, _ = h.retrieve_children("what is the gst amount")
         assert chunks and "GST" in chunks[0]["text"]
 
+    def test_delete(self, rng):
+        idx = MultiVectorIndex(dim=32, max_child_tokens=8, capacity=64,
+                               dtype=np.float32, chunk=64)
+        vs = [rng.standard_normal((4, 32)).astype(np.float32) for _ in range(6)]
+        idx.upsert(np.arange(1, 7, dtype=np.int64), vs)
+        assert idx.delete([1, 2]) == 2
+        assert idx.count() == 4
+        q = vs[0] / np.linalg.norm(vs[0], axis=1, keepdims=True)
+        hits = idx.search_aggregate(q, top_k=6)
+        assert 1 not in [h["child_id"] for h in hits]
+
+    def test_remove_document_cleans_multivector(self, tmp_path):
+        import json
+
+        from financial_rag_tpu.index import FlatIndex
+        from financial_rag_tpu.ingest.pipeline import IngestionPipeline
+        from financial_rag_tpu.models.encoder import DualEncoder
+        from financial_rag_tpu.store import ChildMetaStore, ParentStore
+
+        enc = DualEncoder({"a": HashingEncoder(dim=64, salt=1)})
+        tok_enc = HashingEncoder(dim=64, salt=9)
+        mv = MultiVectorIndex(dim=64, max_child_tokens=32, capacity=64,
+                              dtype=np.float32, chunk=64)
+        pipe = IngestionPipeline(enc, ParentStore(tmp_path / "p.db"),
+                                 ChildMetaStore(tmp_path / "c.db"),
+                                 {"a": FlatIndex(dim=64, capacity=1024)},
+                                 multivector_index=mv, token_encoder=tok_enc)
+        src = tmp_path / "d.json"
+        src.write_text(json.dumps({"blocks": [
+            {"content": "gst amount is 18000 rupees on the invoice. " * 8, "page": 0}]}))
+        pipe.ingest_extracted_json(src, "doc")
+        assert mv.count() > 0
+        out = pipe.remove_document("doc")
+        assert out["vectors_removed"]["multivector"] > 0
+        assert mv.count() == 0
+
     def test_growth_and_overwrite(self, rng):
         idx = MultiVectorIndex(dim=32, max_child_tokens=8, capacity=64,
                                dtype=np.float32, chunk=64)
