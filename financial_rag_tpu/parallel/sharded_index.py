@@ -162,6 +162,47 @@ class ShardedFlatIndex:
         )
         return jax.jit(fn)
 
+    # ---------------------------------------------------------- persistence
+
+    def save(self, directory) -> None:
+        """Persist shard contents to host storage (npz + manifest); the
+        array gathers to host once — fine for checkpointing cadence."""
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            d / f"{self.name}.npz",
+            vectors=np.asarray(self._vectors, np.float32),
+            valid=np.asarray(self._valid),
+            ids=self._ids,
+            fill=self._fill,
+        )
+        (d / f"{self.name}.manifest.json").write_text(json.dumps({
+            "name": self.name, "dim": self.dim, "n_shards": self.n_shards,
+            "cap_per_shard": self.cap_per_shard, "count": self.count(),
+        }, indent=2))
+
+    @classmethod
+    def load(cls, directory, mesh: Mesh, name: str = "children_sharded",
+             **kwargs) -> "ShardedFlatIndex":
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        manifest = json.loads((d / f"{name}.manifest.json").read_text())
+        data = np.load(d / f"{name}.npz")
+        idx = cls(mesh, dim=manifest["dim"],
+                  capacity_per_shard=manifest["cap_per_shard"], name=name, **kwargs)
+        # re-shard the saved rows onto the (possibly different-size) mesh:
+        # replay live vectors through upsert so slot balancing stays valid
+        valid, ids, vectors = data["valid"], data["ids"], data["vectors"]
+        live = np.nonzero(valid > 0)[0]
+        if len(live):
+            idx.upsert(ids[live], vectors[live])
+        return idx
+
     def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:

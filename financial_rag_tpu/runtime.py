@@ -168,9 +168,16 @@ class Runtime:
 
     def save_indexes(self, data_dir: str | Path = ".") -> None:
         persist = Path(data_dir) / self.config.index.persist_dir
+        saved = 0
         for idx in self.indexes.values():
-            idx.save(persist)
-        log.info("persisted %d indexes to %s", len(self.indexes), persist)
+            if hasattr(idx, "save"):
+                idx.save(persist)
+                saved += 1
+            else:
+                # sharded indexes rebuild from the host stores on restart
+                # (ROADMAP: shard-checkpoint persistence)
+                log.warning("index %s has no persistence; skipped", idx.name)
+        log.info("persisted %d/%d indexes to %s", saved, len(self.indexes), persist)
 
     def make_processor(self, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.processor import DocumentProcessor

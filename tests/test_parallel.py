@@ -80,6 +80,30 @@ class TestShardedIndex:
         assert 1 not in got2 and 2 not in got2
 
 
+class TestShardedPersistence:
+    def test_save_load_across_mesh_sizes(self, eight_devices, tmp_path):
+        rng = np.random.default_rng(11)
+        d, n = 64, 300
+        x = _unit(rng, n, d)
+        ids = np.arange(10, 10 + n, dtype=np.int64)
+        mesh8 = search_mesh(devices=eight_devices)
+        idx = ShardedFlatIndex(mesh8, dim=d, capacity_per_shard=1024,
+                               dtype=jnp.float32, name="shardy")
+        idx.upsert(ids, x)
+        idx.delete([10, 11])
+        idx.save(tmp_path)
+
+        # reload onto a DIFFERENT mesh size (4 shards)
+        mesh4 = search_mesh(devices=eight_devices[:4])
+        idx2 = ShardedFlatIndex.load(tmp_path, mesh4, name="shardy",
+                                     dtype=jnp.float32)
+        assert idx2.count() == n - 2
+        q = _unit(rng, 3, d)
+        a, _ = idx.search(q, 5)
+        b, _ = idx2.search(q, 5)
+        np.testing.assert_array_equal(np.sort(a, axis=1), np.sort(b, axis=1))
+
+
 class TestTraining:
     def test_train_step_runs_and_descends(self, eight_devices):
         import optax
