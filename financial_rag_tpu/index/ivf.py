@@ -37,38 +37,68 @@ log = get_logger("index.ivf")
 
 # ----------------------------------------------------------------- k-means
 
+def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on cosine distance (spread-out initial centroids)."""
+    n = x.shape[0]
+    first = int(rng.integers(n))
+    centroids = [x[first]]
+    best_sim = x @ x[first]
+    for _ in range(k - 1):
+        d2 = np.maximum(1.0 - best_sim, 1e-9)
+        probs = d2 / d2.sum()
+        nxt = int(rng.choice(n, p=probs))
+        centroids.append(x[nxt])
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    return np.stack(centroids)
+
+
 def kmeans(
     vectors: np.ndarray,       # [N, D] (will be L2-normalized)
     k: int,
     iters: int = 12,
     seed: int = 0,
+    n_init: int = 3,
 ) -> np.ndarray:
-    """Spherical k-means on device. Returns unit-norm centroids [k, D]."""
+    """Spherical k-means: k-means++ init, device Lloyd's iterations,
+    empty-cluster reseeding to the worst-fit points, and `n_init` restarts
+    keeping the run with the best quantization (mean max-sim) — Lloyd's on
+    clustered data has genuine local optima (two seeds in one true cluster
+    merging two others). Returns unit-norm centroids [k, D]."""
     x = np.asarray(vectors, np.float32)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n, d = x.shape
-    rng = np.random.default_rng(seed)
-    init = x[rng.choice(n, size=k, replace=n < k)]
-
     xd = jnp.asarray(x)
 
     @jax.jit
     def step(c):
         sims = jnp.dot(xd, c.T, preferred_element_type=jnp.float32)     # [N, k]
         assign = jnp.argmax(sims, axis=1)
+        fit = jnp.max(sims, axis=1)                                     # per-point best sim
         sums = jax.ops.segment_sum(xd, assign, num_segments=k)
         counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign, num_segments=k)
         new_c = sums / jnp.maximum(counts[:, None], 1e-9)
         norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         new_c = new_c / jnp.maximum(norms, 1e-12)
-        # keep the old centroid for empty clusters
         new_c = jnp.where(counts[:, None] > 0, new_c, c)
-        return new_c
+        return new_c, counts, fit
 
-    c = jnp.asarray(init)
-    for _ in range(iters):
-        c = step(c)
-    return np.asarray(c)
+    best_c, best_score = None, -np.inf
+    for trial in range(max(n_init, 1)):
+        rng = np.random.default_rng(seed + 7919 * trial)
+        init = _kmeans_pp_init(x, k, rng) if n >= k else x[rng.choice(n, size=k)]
+        c = jnp.asarray(init)
+        fit = None
+        for _ in range(iters):
+            c, counts, fit = step(c)
+            empty = np.nonzero(np.asarray(counts) == 0)[0]
+            if len(empty):
+                # reseed each empty cluster at the point fitting worst
+                worst = np.argsort(np.asarray(fit))[: len(empty)]
+                c = c.at[jnp.asarray(empty)].set(xd[jnp.asarray(worst)])
+        score = float(np.asarray(fit).mean())
+        if score > best_score:
+            best_c, best_score = np.asarray(c), score
+    return best_c
 
 
 # ------------------------------------------------------------------- index
