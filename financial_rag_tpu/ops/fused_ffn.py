@@ -33,29 +33,12 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def fused_ffn(
-    x: jnp.ndarray,    # [B, S, H] (or [N, H])
-    w1: jnp.ndarray,   # [H, I]
-    b1: jnp.ndarray,   # [I]
-    w2: jnp.ndarray,   # [I, H]
-    b2: jnp.ndarray,   # [H]
-    *,
-    block_t: int = 1024,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """gelu-MLP with the intermediate kept in VMEM. Returns x.dtype."""
-    if interpret is None:
-        interpret = default_interpret()
-    orig_shape = x.shape
-    h_dim = orig_shape[-1]
+def _ffn_forward(x2d, w1, b1, w2, b2, block_t: int, interpret: bool) -> jnp.ndarray:
+    n, h_dim = x2d.shape
     i_dim = w1.shape[1]
-    xt = x.reshape(-1, h_dim)
-    n = xt.shape[0]
     np_ = round_up(max(n, 1), block_t)
-    if np_ != n:
-        xt = jnp.pad(xt, ((0, np_ - n), (0, 0)))
-
-    dt = x.dtype
+    xt = jnp.pad(x2d, ((0, np_ - n), (0, 0))) if np_ != n else x2d
+    dt = x2d.dtype
     out = pl.pallas_call(
         _ffn_kernel,
         grid=(np_ // block_t,),
@@ -71,4 +54,56 @@ def fused_ffn(
         interpret=interpret,
     )(xt, w1.astype(dt), b1.reshape(1, -1).astype(dt), w2.astype(dt),
       b2.reshape(1, -1).astype(dt))
-    return out[:n].reshape(orig_shape)
+    return out[:n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_ffn_core(x2d, w1, b1, w2, b2, block_t: int, interpret: bool):
+    return _ffn_forward(x2d, w1, b1, w2, b2, block_t, interpret)
+
+
+def _core_fwd(x2d, w1, b1, w2, b2, block_t, interpret):
+    out = _ffn_forward(x2d, w1, b1, w2, b2, block_t, interpret)
+    return out, (x2d, w1, b1, w2, b2)
+
+
+def _core_bwd(block_t, interpret, res, dy):
+    """Rematerializing XLA backward: the fused forward saves only x (no
+    [N, I] intermediate residual); the backward recomputes it once."""
+    x2d, w1, b1, w2, b2 = res
+    f32 = jnp.float32
+    xf, dyf = x2d.astype(f32), dy.astype(f32)
+    h1 = xf @ w1.astype(f32) + b1.astype(f32)
+    a, gelu_vjp = jax.vjp(lambda h: jax.nn.gelu(h, approximate=True), h1)
+    da = dyf @ w2.astype(f32).T
+    (dh1,) = gelu_vjp(da)
+    dx = (dh1 @ w1.astype(f32).T).astype(x2d.dtype)
+    dw1 = (xf.T @ dh1).astype(w1.dtype)
+    db1 = dh1.sum(0).astype(b1.dtype)
+    dw2 = (a.T @ dyf).astype(w2.dtype)
+    db2 = dyf.sum(0).astype(b2.dtype)
+    return dx, dw1, db1, dw2, db2
+
+
+_fused_ffn_core.defvjp(_core_fwd, _core_bwd)
+
+
+def fused_ffn(
+    x: jnp.ndarray,    # [B, S, H] (or [N, H])
+    w1: jnp.ndarray,   # [H, I]
+    b1: jnp.ndarray,   # [I]
+    w2: jnp.ndarray,   # [I, H]
+    b2: jnp.ndarray,   # [H]
+    *,
+    block_t: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """gelu-MLP with the intermediate kept in VMEM. Differentiable: the
+    custom VJP recomputes the intermediate in the backward (remat), so the
+    fused path works under jax.grad / training too. Returns x.dtype."""
+    if interpret is None:
+        interpret = default_interpret()
+    orig_shape = x.shape
+    h_dim = orig_shape[-1]
+    out = _fused_ffn_core(x.reshape(-1, h_dim), w1, b1, w2, b2, block_t, interpret)
+    return out.reshape(orig_shape)

@@ -195,6 +195,59 @@ class TestFusedFFN:
                                                  approximate=False), w2) + b2)
         np.testing.assert_allclose(got, ref_erf, atol=2e-2)
 
+    def test_gradients_match_xla(self, rng):
+        """custom VJP: grads of the fused path match the XLA formulation."""
+        import jax
+
+        from financial_rag_tpu.ops.fused_ffn import fused_ffn
+
+        n, h, i = 24, 64, 128
+        x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((h, i)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(i) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((i, h)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(h) * 0.05, jnp.float32)
+
+        def loss_fused(*args):
+            return jnp.sum(fused_ffn(*args, block_t=32) ** 2)
+
+        def loss_xla(x, w1, b1, w2, b2):
+            h1 = jax.nn.gelu(x @ w1 + b1, approximate=True)
+            return jnp.sum((h1 @ w2 + b2) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for gf, gx in zip(g_fused, g_xla):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_training_step_with_fused_ffn(self, rng):
+        """the fused path survives jax.grad inside a full train step."""
+        import optax
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import random_params
+        from financial_rag_tpu.models.bert import bert_encode
+        from financial_rag_tpu.training import contrastive_loss
+
+        cfg = ModelConfig(name="tiny", hidden_size=64, num_layers=1, num_heads=4,
+                          intermediate_size=128, vocab_size=200, max_position=32)
+        params = random_params(cfg, seed=0)
+        ids = jnp.asarray(rng.integers(1, 200, (4, 16)), jnp.int32)
+        mask = jnp.ones((4, 16), jnp.int32)
+
+        def loss_fn(p):
+            e1 = bert_encode(p, ids, mask, config=cfg, pooling="mean",
+                             use_fused_ffn=True)
+            e2 = bert_encode(p, ids, mask, config=cfg, pooling="mean",
+                             use_fused_ffn=True)
+            return contrastive_loss(e1, e2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        gnorm = float(optax.global_norm(grads))
+        assert np.isfinite(gnorm) and gnorm > 0
+
     def test_model_integration_pallas_vs_xla(self, rng):
         from financial_rag_tpu.config import ModelConfig
         from financial_rag_tpu.models import bert_encode, random_params
