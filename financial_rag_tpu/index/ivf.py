@@ -201,6 +201,28 @@ class IVFIndex:
         self._fill[li] += 1
         return li, sl
 
+    def retrain(self, iters: int = 12, seed: int = 0) -> None:
+        """Re-fit centroids on the current contents and reassign every
+        vector (k-means refresh for corpus drift). Ids are stable."""
+        with self._lock:
+            live = sorted(self._loc_of.items(), key=lambda kv: kv[1])
+            if not live:
+                return
+            ids = [cid for cid, _ in live]
+            locs = np.asarray([loc for _, loc in live])
+            vecs = np.asarray(self._storage, np.float32)[locs[:, 0], locs[:, 1]]
+
+            self.centroids = None
+            self._storage = jnp.zeros_like(self._storage)
+            self._valid = jnp.zeros_like(self._valid)
+            self._ids[:] = 0
+            self._fill[:] = 0
+            self._loc_of = {}
+            self._search_fn = None
+        self.train(vecs, iters=iters, seed=seed)
+        self.upsert(ids, vecs)
+        log.info("IVF retrained on %d vectors (%d lists)", len(ids), self.nlist)
+
     def delete(self, ids: Sequence[int]) -> int:
         with self._lock:
             lists, slots = [], []

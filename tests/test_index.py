@@ -187,6 +187,24 @@ class TestIVFIndex:
         idx.upsert(np.arange(1, 301, dtype=np.int64), x)
         assert idx.count() == 300
 
+    def test_retrain_preserves_contents(self):
+        rng = np.random.default_rng(5)
+        d, n, k = 64, 800, 5
+        centers = _unit(rng, 8, d)
+        x = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx = IVFIndex(dim=d, nlist=8, list_size=256, nprobe=8)
+        # train on a skewed early sample, then retrain on everything
+        idx.train(x[:50], iters=4)
+        idx.upsert(ids, x)
+        before, _ = idx.search(x[:4], k)
+        idx.retrain(iters=8)
+        assert idx.count() == n
+        after, _ = idx.search(x[:4], k)
+        # full-probe search is exact either way -> identical results
+        np.testing.assert_array_equal(np.sort(before, axis=1), np.sort(after, axis=1))
+
     def test_save_load(self, rng, tmp_path):
         d, n = 64, 512
         x = _unit(rng, n, d)
