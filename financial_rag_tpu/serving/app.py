@@ -145,7 +145,7 @@ class RagApi:
             "aiResponse": format_ai_response(result.get("answer", "")),
             "query": query,
             "status": "success" if result.get("success", True) else "error",
-            "method": result.get("retrieval_method", "rag_enhanced"),
+            "method": "rag_enhanced",  # fixed label (reference api_server.py:922-928)
             "processingTime": result.get("processing_time"),
         })
 
