@@ -80,12 +80,39 @@ class RAGEngine:
                 "processing_time": time.time() - start,
             }
 
+    # -------------------------------------------------- progressive stream
+
+    def query_stream(self, question: str, topn: int = 5, filters: Optional[dict] = None,
+                     session_id: Optional[str] = None):
+        """Generator yielding ("chunks", top_children) as soon as retrieval
+        and rerank finish, then ("complete", full_result) after answer
+        synthesis. Genuine progressive streaming — the reference computes
+        everything first and inserts an artificial 0.5s delay between
+        events (reference api_server.py:1137)."""
+        start = time.time()
+        try:
+            ctx = self._retrieve_phase(question, topn=topn, filters=filters, start=start)
+            if "no_match" in ctx:
+                yield "chunks", []
+                yield "complete", ctx["no_match"]
+                return
+            yield "chunks", self._ui_children(ctx["top_children"], {})
+            result = self._finish_phase(question, ctx, session_id=session_id, start=start)
+            yield "complete", result
+        except Exception as e:  # noqa: BLE001 — stream errors become a result
+            log.exception("streaming RAG query failed")
+            yield "complete", {
+                "answer": f"I encountered an error processing your query: {e}",
+                "chunks": [], "top_children_chunks": [],
+                "query_strategy": "Error", "success": False,
+                "processing_time": time.time() - start,
+            }
+
     # ------------------------------------------------------------ internals
 
-    def _execute(self, question: str, *, topn: int, filters: Optional[dict],
-                 enable_reranking: bool, session_id: Optional[str], start: float) -> dict:
+    def _retrieve_phase(self, question: str, *, topn: int, filters: Optional[dict],
+                        start: float, enable_reranking: bool = True) -> dict:
         top_children_n = max(topn * 3, self.cfg.retrieval.top_children)
-        top_parents_n = self.cfg.retrieval.top_parents
 
         analysis = self.analyzer.analyze(question)
         strategy = "Aggregation" if analysis.intent == "aggregation" else "Specific"
@@ -101,7 +128,7 @@ class RAGEngine:
                 if passes_filter(f, c.get("source_path"), c.get("source_mtime"))
             ]
             if not child_chunks:
-                return self._no_match_response(question, f, start)
+                return {"no_match": self._no_match_response(question, f, start)}
 
         if enable_reranking and self.cfg.rerank.enabled:
             reranked = self.reranker.rerank_chunks(question, child_chunks, strategy=strategy)
@@ -113,6 +140,43 @@ class RAGEngine:
             return float(c.get("final_rerank_score", c.get("retrieval_score", 0.0)))
 
         top_children = sorted(reranked, key=child_score, reverse=True)[:top_children_n]
+        return {
+            "strategy": strategy, "queries": queries, "filter": f,
+            "child_chunks": child_chunks, "child_parent": child_parent,
+            "top_children": top_children, "child_score": child_score,
+        }
+
+    @staticmethod
+    def _ui_children(top_children, parent_doc):
+        return [
+            {
+                "chunk_id": c.get("chunk_id"),
+                "child_id": c.get("child_id"),
+                "parent_id": c.get("parent_id"),
+                "document_name": c.get("document_id") or parent_doc.get(c.get("parent_id")),
+                "source_path": c.get("source_path"),
+                "source_mtime": c.get("source_mtime"),
+                "text": c.get("chunk_text", c.get("text", "")),
+                "retrieval_score": c.get("retrieval_score"),
+                "final_rerank_score": c.get("final_rerank_score"),
+            }
+            for c in top_children
+        ]
+
+    def _execute(self, question: str, *, topn: int, filters: Optional[dict],
+                 enable_reranking: bool, session_id: Optional[str], start: float) -> dict:
+        ctx = self._retrieve_phase(question, topn=topn, filters=filters,
+                                   start=start, enable_reranking=enable_reranking)
+        if "no_match" in ctx:
+            return ctx["no_match"]
+        return self._finish_phase(question, ctx, session_id=session_id, start=start)
+
+    def _finish_phase(self, question: str, ctx: dict, *, session_id: Optional[str],
+                      start: float) -> dict:
+        top_parents_n = self.cfg.retrieval.top_parents
+        strategy, queries, f = ctx["strategy"], ctx["queries"], ctx["filter"]
+        child_chunks, child_parent = ctx["child_chunks"], ctx["child_parent"]
+        top_children, child_score = ctx["top_children"], ctx["child_score"]
 
         # ordered parent dedup (reference rag_backend.py:1091-1104)
         parent_ids: List[int] = []
@@ -148,19 +212,7 @@ class RAGEngine:
             "corrected_query": queries[0] if queries else question,
             "multiqueries": queries[1:],
             "chunks": parent_chunks,
-            "top_children_chunks": [
-                {
-                    "chunk_id": c.get("chunk_id"),
-                    "child_id": c.get("child_id"),
-                    "parent_id": c.get("parent_id"),
-                    "document_name": c.get("document_id") or parent_doc.get(c.get("parent_id")),
-                    "source_path": c.get("source_path"),
-                    "text": c.get("chunk_text", c.get("text", "")),
-                    "retrieval_score": c.get("retrieval_score"),
-                    "final_rerank_score": c.get("final_rerank_score"),
-                }
-                for c in top_children
-            ],
+            "top_children_chunks": self._ui_children(top_children, parent_doc),
             "all_chunks_count": len(parent_chunks),
             "processing_time": processing_time,
             "session_id": session_id or "anonymous",

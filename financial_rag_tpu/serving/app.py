@@ -166,22 +166,27 @@ class RagApi:
                 except QueryValidationError as e:
                     yield sse({"type": "error", "data": {"error": str(e)}})
                     return
-                future = self.executor.submit(self._run_query, query, filters)
-                try:
-                    result = future.result(timeout=timeout)
-                except FuturesTimeout:
-                    yield sse({"type": "error",
-                               "data": {"error": "Streaming search timed out. Please try again."}})
-                    return
-                documents = format_chunks_for_ui(
-                    result.get("top_children_chunks") or result.get("chunks") or [])
-                yield sse({"type": "chunks", "data": {"documents": documents}})
-                if delay:
-                    time.sleep(delay)
-                yield sse({"type": "answer",
-                           "data": {"aiResponse": format_ai_response(result.get("answer", ""))}})
-                yield sse({"type": "complete",
-                           "data": {"status": "success", "method": "rag_enhanced"}})
+                # genuine progressive streaming: chunks flush as soon as
+                # retrieval+rerank finish, the answer follows after LLM
+                # synthesis (the reference computes everything, then sleeps
+                # 0.5s between events — reference api_server.py:1137)
+                deadline = time.monotonic() + timeout
+                for phase, payload in self.engine.query_stream(query, filters=filters):
+                    if time.monotonic() > deadline:
+                        yield sse({"type": "error",
+                                   "data": {"error": "Streaming search timed out. Please try again."}})
+                        return
+                    if phase == "chunks":
+                        yield sse({"type": "chunks",
+                                   "data": {"documents": format_chunks_for_ui(payload)}})
+                        if delay:
+                            time.sleep(delay)
+                    else:  # complete
+                        yield sse({"type": "answer",
+                                   "data": {"aiResponse":
+                                            format_ai_response(payload.get("answer", ""))}})
+                        yield sse({"type": "complete",
+                                   "data": {"status": "success", "method": "rag_enhanced"}})
             except Exception as e:  # noqa: BLE001 — stream errors become events
                 log.exception("search-stream failed")
                 yield sse({"type": "error", "data": {"error": str(e)}})

@@ -87,6 +87,20 @@ class TestEngine:
         assert not first.get("cache_hit")
         assert second.get("cache_hit")
 
+    def test_query_stream_phases(self, stack):
+        engine, *_ = stack
+        events = list(engine.query_stream("What is the rent for the second year?"))
+        assert [p for p, _ in events] == ["chunks", "complete"]
+        chunks, result = events[0][1], events[1][1]
+        assert chunks and "text" in chunks[0]
+        assert result["success"] and "42,800" in result["answer"]
+
+    def test_query_stream_filter_no_match(self, stack):
+        engine, *_ = stack
+        events = list(engine.query_stream("rent", filters={"fileType": ["word"]}))
+        assert events[0] == ("chunks", [])
+        assert "No documents matched" in events[1][1]["answer"]
+
     def test_filter_no_match_message(self, stack):
         engine, *_ = stack
         out = engine.query("rent amount", filters={"fileType": ["word"]})
