@@ -88,3 +88,34 @@ def test_empty_text(tok):
 
 def test_vocab_size():
     assert len(load_vocab()) == 30522
+
+
+def test_fuzz_parity_random_ascii(tok, hf_tok):
+    """Property test: random printable-ASCII strings tokenize identically
+    to HF across lengths and character mixes."""
+    import random
+    import string
+
+    rnd = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t\n"
+    for _ in range(200):
+        n = rnd.randint(1, 120)
+        text = "".join(rnd.choice(alphabet) for _ in range(n))
+        if not text.strip():
+            continue
+        assert tok.encode(text, max_len=128) == hf_tok.encode(
+            text, truncation=True, max_length=128), repr(text)
+
+
+def test_fuzz_parity_unicode_mix(tok, hf_tok):
+    """Mixed-script fuzz: accents, CJK, symbols, emoji."""
+    import random
+
+    rnd = random.Random(1)
+    pieces = ["café", "北京", "naïve", "résumé", "Ω≈ç√", "🚀", "händl",
+              "invoice", "42,800.00", "GST@18%", "--", "…", "ﬁ", "ß",
+              "Ñandú", "東京都", " ", "á"]
+    for _ in range(100):
+        text = " ".join(rnd.choices(pieces, k=rnd.randint(1, 12)))
+        assert tok.encode(text, max_len=128) == hf_tok.encode(
+            text, truncation=True, max_length=128), repr(text)
