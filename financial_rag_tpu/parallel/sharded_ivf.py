@@ -1,0 +1,154 @@
+"""Corpus-sharded IVF index: one IVF partition per device.
+
+Completes the 10M-chunk configuration (SURVEY.md §7.2 step 7 /
+BASELINE configs[4]): vectors route round-robin across shards, each shard
+is a self-contained IVFIndex whose arrays live on its own device
+(`jax.device_put` placement), searches fan out per shard and merge
+host-side (k × n_shards candidates — trivial). Combines IVF's bounded
+per-query HBM traffic with multi-chip capacity.
+
+Unlike ShardedFlatIndex (one shard_map program over a mesh), shards here
+are independent programs: IVF probing is data-dependent per query, so
+per-device dispatch + host merge is the simpler correct structure, and
+search latency is one device roundtrip per shard (dispatched back-to-back,
+overlapping on hardware).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from financial_rag_tpu.index.ivf import IVFIndex
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("parallel.sharded_ivf")
+
+
+class ShardedIVFIndex:
+    def __init__(
+        self,
+        dim: int = 384,
+        n_shards: Optional[int] = None,
+        nlist: int = 256,
+        list_size: int = 256,
+        nprobe: int = 32,
+        *,
+        devices: Optional[list] = None,
+        dtype=None,
+        name: str = "children_ivf_sharded",
+    ) -> None:
+        self.devices = devices if devices is not None else jax.devices()
+        if n_shards:
+            self.devices = self.devices[:n_shards]
+        self.n_shards = len(self.devices)
+        self.dim = dim
+        self.name = name
+        import jax.numpy as jnp
+
+        dtype = dtype if dtype is not None else jnp.bfloat16
+        self.shards: List[IVFIndex] = [
+            IVFIndex(dim=dim, nlist=nlist, list_size=list_size, nprobe=nprobe,
+                     dtype=dtype, name=f"{name}_{i}")
+            for i in range(self.n_shards)
+        ]
+        self._owner: Dict[int, int] = {}   # child_id -> shard
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self._owner)
+
+    def count(self) -> int:
+        return len(self._owner)
+
+    @property
+    def is_trained(self) -> bool:
+        return all(s.is_trained for s in self.shards)
+
+    def train(self, vectors: np.ndarray, iters: int = 12, seed: int = 0) -> None:
+        """All shards learn centroids from the same sample (routing is
+        round-robin, so every shard sees the same distribution)."""
+        for i, (shard, dev) in enumerate(zip(self.shards, self.devices)):
+            with jax.default_device(dev):
+                shard.train(vectors, iters=iters, seed=seed + i)
+
+    def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        with self._lock:
+            routed: Dict[int, Tuple[List[int], List[int]]] = {}
+            for j, cid in enumerate(ids):
+                cid = int(cid)
+                shard = self._owner.get(cid)
+                if shard is None:
+                    shard = self._rr % self.n_shards
+                    self._rr += 1
+                    self._owner[cid] = shard
+                routed.setdefault(shard, ([], []))[0].append(cid)
+                routed[shard][1].append(j)
+        for shard, (cids, rows) in routed.items():
+            with jax.default_device(self.devices[shard]):
+                self.shards[shard].upsert(cids, vectors[rows])
+
+    def delete(self, ids: Sequence[int]) -> int:
+        removed = 0
+        with self._lock:
+            routed: Dict[int, List[int]] = {}
+            for cid in ids:
+                shard = self._owner.pop(int(cid), None)
+                if shard is not None:
+                    routed.setdefault(shard, []).append(int(cid))
+        for shard, cids in routed.items():
+            with jax.default_device(self.devices[shard]):
+                removed += self.shards[shard].delete(cids)
+        return removed
+
+    def search(self, queries: np.ndarray, top_k: int, *,
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Fan out to every shard, merge candidates host-side. Ties break to
+        the lower shard id then shard-local order (deterministic)."""
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        b = queries.shape[0]
+        if not self._owner:
+            return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
+
+        all_ids = np.zeros((self.n_shards, b, top_k), np.int64)
+        all_scores = np.full((self.n_shards, b, top_k), -np.inf, np.float32)
+        for i, (shard, dev) in enumerate(zip(self.shards, self.devices)):
+            if not len(shard):
+                continue
+            with jax.default_device(dev):
+                ids_i, s_i = shard.search(queries, top_k, nprobe=nprobe)
+            all_ids[i], all_scores[i] = ids_i, s_i
+
+        cat_ids = all_ids.transpose(1, 0, 2).reshape(b, -1)
+        cat_s = all_scores.transpose(1, 0, 2).reshape(b, -1)
+        order = np.argsort(-cat_s, axis=1, kind="stable")[:, :top_k]
+        return (np.take_along_axis(cat_ids, order, axis=1),
+                np.take_along_axis(cat_s, order, axis=1))
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, directory) -> None:
+        for shard in self.shards:
+            shard.save(directory)
+
+    @classmethod
+    def load(cls, directory, n_shards: int, name: str = "children_ivf_sharded",
+             **kwargs) -> "ShardedIVFIndex":
+        probe = IVFIndex.load(directory, name=f"{name}_0")
+        idx = cls(dim=probe.dim, n_shards=n_shards, nlist=probe.nlist,
+                  list_size=probe.list_size, nprobe=probe.nprobe,
+                  dtype=probe.dtype, name=name, **kwargs)
+        idx.shards = [IVFIndex.load(directory, name=f"{name}_{i}")
+                      for i in range(idx.n_shards)]
+        for i, shard in enumerate(idx.shards):
+            for cid in shard._loc_of:
+                idx._owner[cid] = i
+        idx._rr = len(idx._owner)
+        return idx

@@ -104,6 +104,56 @@ class TestShardedPersistence:
         np.testing.assert_array_equal(np.sort(a, axis=1), np.sort(b, axis=1))
 
 
+class TestShardedIVF:
+    def test_recall_and_exactness_full_probe(self, eight_devices):
+        from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        rng = np.random.default_rng(9)
+        d, n, k = 64, 2000, 10
+        centers = _unit(rng, 8, d)
+        x = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+
+        idx = ShardedIVFIndex(dim=d, n_shards=4, nlist=8, list_size=256,
+                              nprobe=8, devices=eight_devices[:4],
+                              dtype=jnp.float32)
+        idx.train(x[:500], iters=6)
+        idx.upsert(ids, x)
+        assert idx.count() == n
+        # balanced routing
+        per_shard = [len(s) for s in idx.shards]
+        assert max(per_shard) - min(per_shard) <= 1
+
+        q = x[rng.integers(0, n, 6)]
+        got_ids, got_s = idx.search(q, k)  # full probe (nprobe == nlist) -> exact
+        s = q @ x.T
+        ref = ids[np.argsort(-s, axis=1, kind="stable")[:, :k]]
+        for a, b in zip(got_ids, ref):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_delete_and_save_load(self, eight_devices, tmp_path):
+        from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        rng = np.random.default_rng(3)
+        d, n = 32, 200
+        x = _unit(rng, n, d)
+        idx = ShardedIVFIndex(dim=d, n_shards=2, nlist=4, list_size=128,
+                              nprobe=4, devices=eight_devices[:2],
+                              dtype=jnp.float32, name="sivf")
+        idx.train(x, iters=4)
+        idx.upsert(np.arange(1, n + 1, dtype=np.int64), x)
+        assert idx.delete([1, 2, 3]) == 3
+        assert idx.count() == n - 3
+        idx.save(tmp_path)
+        idx2 = ShardedIVFIndex.load(tmp_path, n_shards=2, name="sivf",
+                                    devices=eight_devices[:2])
+        assert idx2.count() == n - 3
+        a, _ = idx.search(x[10:12], 5)
+        b, _ = idx2.search(x[10:12], 5)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestTraining:
     def test_train_step_runs_and_descends(self, eight_devices):
         import optax
