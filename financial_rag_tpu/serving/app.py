@@ -86,6 +86,7 @@ class RagApi:
             Rule("/admin/processing-status", endpoint="processing_status", methods=["GET"]),
             Rule("/admin/reprocess", endpoint="reprocess", methods=["POST"]),
             Rule("/admin/cleanup", endpoint="cleanup", methods=["POST"]),
+            Rule("/admin/compact", endpoint="compact", methods=["POST"]),
             Rule("/metrics", endpoint="metrics", methods=["GET"]),
             Rule("/feedback", endpoint="feedback", methods=["POST"]),
         ])
@@ -278,6 +279,20 @@ class RagApi:
         if self.processor is None:
             return _json({"error": "processor not configured"}, 404)
         return _json(self.processor.cleanup_orphans())
+
+    def on_compact(self, request: Request) -> Response:
+        """Index maintenance: compact tombstoned slots (flat) / retrain
+        centroids (IVF) on every collection that supports it."""
+        out = {}
+        for name, idx in self.engine.hybrid.indexes.items():
+            if hasattr(idx, "compact"):
+                out[name] = {"reclaimed_slots": idx.compact()}
+            elif hasattr(idx, "retrain"):
+                idx.retrain()
+                out[name] = {"retrained": True, "count": idx.count()}
+            else:
+                out[name] = {"skipped": True}
+        return _json({"status": "ok", "collections": out})
 
     # -------------------------------------------------------------- extras
 

@@ -180,6 +180,13 @@ class TestAPI:
         assert data["summary"]["embedded"] == 2
         assert client.post("/admin/cleanup").get_json()["removed"] == []
 
+    def test_admin_compact(self, stack):
+        engine, client, *_ = stack
+        data = client.post("/admin/compact").get_json()
+        assert data["status"] == "ok"
+        assert set(data["collections"]) == {"baai", "gte"}
+        assert all("reclaimed_slots" in v for v in data["collections"].values())
+
     def test_ui_served_at_root(self, stack):
         engine, client, *_ = stack
         resp = client.get("/")
