@@ -238,8 +238,9 @@ class FlatIndex:
         data = np.load(d / f"{name}.npz")
         vectors, valid, ids = data["vectors"], data["valid"], data["ids"]
         used = vectors.shape[0]
-        idx = cls(dim=vectors.shape[1] if used else kwargs.pop("dim", 384),
-                  capacity=max(used, TILE), name=name, **kwargs)
+        dim = vectors.shape[1] if used else kwargs.pop("dim", 384)
+        kwargs.pop("dim", None)  # saved dim wins over a caller-provided one
+        idx = cls(dim=dim, capacity=max(used, TILE), name=name, **kwargs)
         if used:
             idx._vectors = idx._vectors.at[:used].set(jnp.asarray(vectors, idx.dtype))
             idx._valid = idx._valid.at[:used].set(jnp.asarray(valid))

@@ -46,3 +46,24 @@ def test_ingest_check_fullflow_chain(tmp_path):
     assert logs
     payload = json.loads(logs[0].read_text())
     assert payload["token_accounting"]["prompt_tokens"] > 0
+
+    r4 = _run("pc_retrieval_smoke.py",
+              ["--data-dir", ".", "--queries", "rent second year"], tmp_path)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert "parent" in r4.stdout
+
+
+@pytest.mark.slow
+def test_run_end_to_end_script(tmp_path):
+    src = tmp_path / "input"
+    src.mkdir()
+    (src / "doc.json").write_text(json.dumps({"blocks": [
+        {"content": "The total invoice amount is Rs 1,18,000 including GST. " * 8,
+         "page": 0}]}))
+    r = _run("run_end_to_end.py",
+             ["--input", "input", "--data-dir", ".",
+              "--smoke-query", "total invoice amount"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "1 parents" in r.stdout or "parents" in r.stdout
+    assert "retrieval smoke" in r.stdout
+    assert "1,18,000" in r.stdout or "child" in r.stdout
