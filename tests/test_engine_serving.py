@@ -4,13 +4,11 @@ feedback DB, processing ledger, and UI formatting."""
 import json
 import time
 
-import numpy as np
 import pytest
 
-from financial_rag_tpu.config import FrameworkConfig
 from financial_rag_tpu.engine import RAGEngine
 from financial_rag_tpu.index import FlatIndex
-from financial_rag_tpu.ingest.ledger import DocumentState, ProcessingLedger, file_sha256
+from financial_rag_tpu.ingest.ledger import ProcessingLedger, file_sha256
 from financial_rag_tpu.ingest.pipeline import IngestionPipeline, collection_slug
 from financial_rag_tpu.models.encoder import DualEncoder
 from financial_rag_tpu.models.hashing import HashingEncoder

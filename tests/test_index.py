@@ -2,7 +2,6 @@
 (SURVEY.md §7.2 step 3: 'exact-search recall@10 must equal a numpy oracle')."""
 
 import numpy as np
-import pytest
 
 from financial_rag_tpu.index import FlatIndex, IVFIndex
 from financial_rag_tpu.index.ivf import kmeans

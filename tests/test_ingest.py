@@ -4,12 +4,11 @@ the minimum end-to-end slice)."""
 
 import json
 
-import numpy as np
 import pytest
 
 from financial_rag_tpu.config import ChunkingConfig
 from financial_rag_tpu.index import FlatIndex
-from financial_rag_tpu.ingest import ParentChildChunker, parse_marker_json
+from financial_rag_tpu.ingest import ParentChildChunker
 from financial_rag_tpu.ingest.chunker import normalize_text, token_estimate
 from financial_rag_tpu.ingest.marker_json import parse_marker_blocks
 from financial_rag_tpu.ingest.pipeline import IngestionPipeline, collection_slug

@@ -2,7 +2,6 @@
 quality with lexical token embeddings."""
 
 import numpy as np
-import pytest
 
 from financial_rag_tpu.index import MultiVectorIndex
 from financial_rag_tpu.models.hashing import HashingEncoder

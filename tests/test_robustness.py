@@ -9,12 +9,7 @@ import numpy as np
 import pytest
 
 from financial_rag_tpu.index import FlatIndex
-from financial_rag_tpu.llm.provider import (
-    NullLLM,
-    chunk_context,
-    normalize_query,
-    synthesize_answer,
-)
+from financial_rag_tpu.llm.provider import chunk_context, normalize_query, synthesize_answer
 from financial_rag_tpu.store.feedback_db import FeedbackDatabase
 
 

@@ -5,7 +5,6 @@ import json
 
 import pytest
 
-from financial_rag_tpu.config import FrameworkConfig
 from financial_rag_tpu.runtime import Runtime
 
 

@@ -12,7 +12,6 @@ import glob
 import json
 import math
 import os
-from fractions import Fraction
 
 import numpy as np
 import pytest
