@@ -54,6 +54,23 @@ def test_ingest_check_fullflow_chain(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_suite_cpu_smoke(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import sys; sys.argv = ['bench_suite', '--scales', '2048', '--iters', '2',\n"
+        "                        '--batch', '8', '--oracle-sample', '4']\n"
+        f"import runpy; runpy.run_path('{REPO}/scripts/bench_suite.py', run_name='__main__')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
+    assert rows and all(row["recall_at_k"] >= 0.99 for row in rows)
+
+
+@pytest.mark.slow
 def test_run_end_to_end_script(tmp_path):
     src = tmp_path / "input"
     src.mkdir()
