@@ -186,7 +186,8 @@ class Runtime:
         return DocumentProcessor(
             self.pipeline, self.ledger,
             source_dir=data_dir / self.config.ingest.source_dir,
-            extracted_dir=data_dir / self.config.ingest.extracted_dir)
+            extracted_dir=data_dir / self.config.ingest.extracted_dir,
+            on_sweep_complete=lambda: self.save_indexes(data_dir))
 
     def make_app(self, processor=None, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.app import create_app

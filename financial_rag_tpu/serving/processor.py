@@ -34,12 +34,17 @@ class DocumentProcessor:
         source_dir: str | Path = "Source_Documents",
         extracted_dir: str | Path = "extracted",
         poll_interval_s: float = 30.0,
+        on_sweep_complete=None,
     ) -> None:
         self.pipeline = pipeline
         self.ledger = ledger
         self.source_dir = Path(source_dir)
         self.extracted_dir = Path(extracted_dir)
         self.poll_interval_s = poll_interval_s
+        # called after a sweep that processed documents — used to persist
+        # the vector indexes so other processes see them (the reference's
+        # Chroma store persisted implicitly)
+        self.on_sweep_complete = on_sweep_complete
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._busy = False
@@ -96,6 +101,11 @@ class DocumentProcessor:
                     self.ledger.mark(path, error=str(e))
                     failed.append(path)
             self.ledger.save()
+            if processed and self.on_sweep_complete is not None:
+                try:
+                    self.on_sweep_complete()
+                except Exception:  # noqa: BLE001 — persistence must not kill the sweep
+                    log.exception("on_sweep_complete failed")
             return {"processed": processed, "skipped": skipped, "failed": failed}
         finally:
             self._busy = False

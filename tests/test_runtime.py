@@ -78,6 +78,24 @@ class TestRuntime:
         out = rt.engine.query("credit note number")
         assert out["success"] and out["top_children_chunks"]
 
+    def test_processor_persists_indexes_for_new_process(self, tmp_path):
+        """Server-side ingest must be visible to a fresh Runtime (found in
+        verification: the reference's Chroma persisted implicitly; our
+        indexes need the sweep-complete save hook)."""
+        src = tmp_path / "Source_Documents"
+        src.mkdir()
+        (src / "doc.json").write_text(json.dumps({"blocks": [
+            {"content": "The revised total amount is Rs 9,99,999. " * 10, "page": 0}]}))
+        rt = Runtime.build(data_dir=tmp_path)
+        processor = rt.make_processor(tmp_path)
+        out = processor.process_all()
+        assert out["processed"]
+
+        rt2 = Runtime.build(data_dir=tmp_path)  # fresh process equivalent
+        assert all(i.count() > 0 for i in rt2.indexes.values())
+        res = rt2.engine.query("what is the revised total amount")
+        assert "9,99,999" in res["answer"]
+
     def test_make_app_and_processor(self, built):
         from werkzeug.test import Client
 
