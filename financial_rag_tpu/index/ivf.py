@@ -241,11 +241,14 @@ class IVFIndex:
     # -------------------------------------------------------------- search
 
     def _build_search(self, k: int, nprobe: int):
-        storage, valid, centroids = self._storage, self._valid, self.centroids
-        ls, d = self.list_size, self.dim
+        # storage / valid / centroids are jit ARGUMENTS, not closure
+        # captures, so incremental upsert/delete/retrain are immediately
+        # visible to search (same discipline as FlatIndex._dispatch) and
+        # the compiled fn stays valid across mutations of equal shape.
+        ls = self.list_size
 
         @jax.jit
-        def run(queries):                                    # [B, D] f32
+        def run(queries, storage, valid, centroids):         # [B, D] f32
             q = queries.astype(jnp.float32)
             csims = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
             _, probes = jax.lax.top_k(csims, nprobe)         # [B, P]
@@ -288,7 +291,7 @@ class IVFIndex:
             if qa.shape[0] < chunk:
                 pad = chunk - qa.shape[0]
                 qa = np.pad(qa, ((0, pad), (0, 0)))
-            s, li, sl = run(jnp.asarray(qa))
+            s, li, sl = run(jnp.asarray(qa), self._storage, self._valid, self.centroids)
             s, li, sl = np.array(s), np.array(li), np.array(sl)
             if pad:
                 s, li, sl = s[:-pad], li[:-pad], sl[:-pad]
