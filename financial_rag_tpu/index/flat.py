@@ -170,15 +170,10 @@ class FlatIndex:
     # ------------------------------------------------------------ internals
 
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
-        slots_d = jnp.asarray(slots)
-        if self.dtype == jnp.int8:
-            from financial_rag_tpu.ops.topk import INT8_SCALE
+        from financial_rag_tpu.index.persist import encode_payload
 
-            vecs = jnp.asarray(
-                np.clip(np.round(vectors * INT8_SCALE), -127, 127).astype(np.int8))
-        else:
-            vecs = jnp.asarray(vectors, self.dtype)
-        self._vectors = self._vectors.at[slots_d].set(vecs)
+        slots_d = jnp.asarray(slots)
+        self._vectors = self._vectors.at[slots_d].set(encode_payload(vectors, self.dtype))
         self._valid = self._valid.at[slots_d].set(valid)
 
     def _grow(self) -> None:
@@ -213,36 +208,58 @@ class FlatIndex:
     # ---------------------------------------------------------- persistence
 
     def save(self, directory: str | Path) -> None:
+        from financial_rag_tpu.index.persist import (
+            atomic_savez, atomic_write_json, dtype_name)
+
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
         used = self._next_slot
-        np.savez_compressed(
+        # int8 payloads persist as their raw quantized values (cast to f32
+        # in the npz); the manifest dtype tells load() how to decode them.
+        atomic_savez(
             d / f"{self.name}.npz",
             vectors=np.asarray(self._vectors[:used], np.float32),
             valid=np.asarray(self._valid[:used]),
             ids=self._ids[:used],
         )
-        manifest = {
+        atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name,
             "dim": self.dim,
             "count": self.count(),
             "used_slots": used,
             "backend": self.backend,
-            "dtype": str(self.dtype.__name__ if hasattr(self.dtype, "__name__") else self.dtype),
-        }
-        (d / f"{self.name}.manifest.json").write_text(json.dumps(manifest, indent=2))
+            "nbuckets": self.nbuckets,
+            "dtype": dtype_name(self.dtype),
+        })
 
     @classmethod
     def load(cls, directory: str | Path, name: str = "children", **kwargs) -> "FlatIndex":
+        """Reload. Storage dtype / nbuckets come from the manifest unless the
+        caller overrides them; int8 payloads are rescaled into unit-vector
+        space first so a dtype change between save and load re-quantizes
+        correctly instead of reinterpreting ±127 values. `backend` is NOT
+        taken from the manifest: it is environment-dependent (pallas on TPU,
+        xla on CPU) and re-resolved by the constructor's "auto"."""
+        from financial_rag_tpu.index.persist import (
+            STR_TO_DTYPE, decode_payload, encode_payload)
+
         d = Path(directory)
         data = np.load(d / f"{name}.npz")
         vectors, valid, ids = data["vectors"], data["valid"], data["ids"]
+        manifest_path = d / f"{name}.manifest.json"
+        manifest = json.loads(manifest_path.read_text()) if manifest_path.exists() else {}
+        saved_dtype = manifest.get("dtype")
+        if "dtype" not in kwargs and saved_dtype in STR_TO_DTYPE:
+            kwargs["dtype"] = STR_TO_DTYPE[saved_dtype]
+        if "nbuckets" not in kwargs and "nbuckets" in manifest:
+            kwargs["nbuckets"] = manifest["nbuckets"]
         used = vectors.shape[0]
         dim = vectors.shape[1] if used else kwargs.pop("dim", 384)
         kwargs.pop("dim", None)  # saved dim wins over a caller-provided one
         idx = cls(dim=dim, capacity=max(used, TILE), name=name, **kwargs)
         if used:
-            idx._vectors = idx._vectors.at[:used].set(jnp.asarray(vectors, idx.dtype))
+            unit = decode_payload(vectors, saved_dtype)
+            idx._vectors = idx._vectors.at[:used].set(encode_payload(unit, idx.dtype))
             idx._valid = idx._valid.at[:used].set(jnp.asarray(valid))
             idx._ids[:used] = ids
             idx._next_slot = used

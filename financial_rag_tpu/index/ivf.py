@@ -118,6 +118,13 @@ class IVFIndex:
         self.nlist = nlist
         self.list_size = round_up(list_size, 128)
         self.nprobe = min(nprobe, nlist)
+        if dtype == jnp.int8:
+            # IVF scores probed tiles with a direct einsum (no int8 dequant
+            # path like ops/topk._tile_scores); int8 storage would truncate
+            # unit vectors to zero. Coerce — IVF's HBM win comes from
+            # probing, not storage dtype.
+            log.warning("IVFIndex does not support int8 storage; using bfloat16")
+            dtype = jnp.bfloat16
         self.dtype = dtype
         self.name = name
 
@@ -306,9 +313,12 @@ class IVFIndex:
     # ---------------------------------------------------------- persistence
 
     def save(self, directory: str | Path) -> None:
+        from financial_rag_tpu.index.persist import (
+            atomic_savez, atomic_write_json, dtype_name)
+
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
+        atomic_savez(
             d / f"{self.name}.npz",
             centroids=np.asarray(self.centroids, np.float32),
             storage=np.asarray(self._storage, np.float32),
@@ -316,16 +326,22 @@ class IVFIndex:
             ids=self._ids,
             fill=self._fill,
         )
-        (d / f"{self.name}.manifest.json").write_text(json.dumps({
+        atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name, "dim": self.dim, "nlist": self.nlist,
-            "list_size": self.list_size, "nprobe": self.nprobe, "count": self.count(),
-        }, indent=2))
+            "list_size": self.list_size, "nprobe": self.nprobe,
+            "count": self.count(), "dtype": dtype_name(self.dtype),
+        })
 
     @classmethod
     def load(cls, directory: str | Path, name: str = "children_ivf", **kwargs) -> "IVFIndex":
+        from financial_rag_tpu.index.persist import STR_TO_DTYPE
+
         d = Path(directory)
         manifest = json.loads((d / f"{name}.manifest.json").read_text())
         data = np.load(d / f"{name}.npz")
+        saved_dtype = manifest.get("dtype")
+        if "dtype" not in kwargs and saved_dtype in STR_TO_DTYPE:
+            kwargs["dtype"] = STR_TO_DTYPE[saved_dtype]
         idx = cls(dim=manifest["dim"], nlist=manifest["nlist"],
                   list_size=manifest["list_size"], nprobe=manifest["nprobe"],
                   name=name, **kwargs)

@@ -89,16 +89,49 @@ class ShardedFlatIndex:
     # ------------------------------------------------------------- updates
 
     def _alloc_slot(self) -> int:
-        """Round-robin across shards: global slot = shard*cap + local."""
+        """Round-robin across shards: global slot = shard*cap + local.
+        When every shard is full, capacity doubles (per shard) so a
+        long-running deployment never hard-stops at initial capacity."""
         shard = int(np.argmin(self._fill))
+        if self._fill[shard] >= self.cap_per_shard:
+            self._grow()
+            shard = int(np.argmin(self._fill))
         local = int(self._fill[shard])
-        if local >= self.cap_per_shard:
-            raise RuntimeError(
-                f"sharded index full ({self.capacity} slots); raise capacity_per_shard")
         self._fill[shard] += 1
         return shard * self.cap_per_shard + local
 
+    def _grow(self) -> None:
+        """Double capacity_per_shard. Global slot numbering is
+        shard*cap + local, so growth remaps every existing slot; the device
+        arrays round-trip through host once (fine at doubling cadence)."""
+        old_cap, new_cap = self.cap_per_shard, self.cap_per_shard * 2
+        log.info("growing sharded index %s: %d -> %d slots/shard",
+                 self.name, old_cap, new_cap)
+        host_vec = np.asarray(self._vectors).reshape(self.n_shards, old_cap, self.dim)
+        host_val = np.asarray(self._valid).reshape(self.n_shards, old_cap)
+        pad = new_cap - old_cap
+        host_vec = np.pad(host_vec, ((0, 0), (0, pad), (0, 0)))
+        host_val = np.pad(host_val, ((0, 0), (0, pad)))
+        new_ids = np.zeros(self.n_shards * new_cap, np.int64)
+        remap = {}
+        for cid, slot in self._slot_of.items():
+            shard, local = divmod(slot, old_cap)
+            ns = shard * new_cap + local
+            remap[cid] = ns
+            new_ids[ns] = cid
+        self._slot_of = remap
+        self._ids = new_ids
+        self.cap_per_shard = new_cap
+        self.capacity = new_cap * self.n_shards
+        self._vectors = jax.device_put(
+            jnp.asarray(host_vec.reshape(self.capacity, self.dim)), self._row_sharding)
+        self._valid = jax.device_put(
+            jnp.asarray(host_val.reshape(self.capacity)), self._valid_sharding)
+        self._search_fn.clear()  # local corpus shape changed
+
     def upsert(self, ids, vectors: np.ndarray) -> None:
+        from financial_rag_tpu.index.persist import encode_payload
+
         vectors = np.asarray(vectors, np.float32)
         vectors = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
         with self._lock:
@@ -113,7 +146,7 @@ class ShardedFlatIndex:
                 slots[j] = slot
             slots_d = jnp.asarray(slots)
             self._vectors = jax.device_put(
-                self._vectors.at[slots_d].set(jnp.asarray(vectors, self.dtype)),
+                self._vectors.at[slots_d].set(encode_payload(vectors, self.dtype)),
                 self._row_sharding)
             self._valid = jax.device_put(
                 self._valid.at[slots_d].set(1.0), self._valid_sharding)
@@ -167,40 +200,55 @@ class ShardedFlatIndex:
     def save(self, directory) -> None:
         """Persist shard contents to host storage (npz + manifest); the
         array gathers to host once — fine for checkpointing cadence."""
-        import json
         from pathlib import Path
+
+        from financial_rag_tpu.index.persist import (
+            atomic_savez, atomic_write_json, dtype_name)
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(
+        atomic_savez(
             d / f"{self.name}.npz",
             vectors=np.asarray(self._vectors, np.float32),
             valid=np.asarray(self._valid),
             ids=self._ids,
             fill=self._fill,
         )
-        (d / f"{self.name}.manifest.json").write_text(json.dumps({
+        atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name, "dim": self.dim, "n_shards": self.n_shards,
             "cap_per_shard": self.cap_per_shard, "count": self.count(),
-        }, indent=2))
+            "dtype": dtype_name(self.dtype),
+        })
 
     @classmethod
     def load(cls, directory, mesh: Mesh, name: str = "children_sharded",
              **kwargs) -> "ShardedFlatIndex":
+        """Reload onto a (possibly different-size) mesh by replaying live
+        rows through upsert, so slot balancing stays valid. Also accepts a
+        single-device FlatIndex checkpoint of the same name (manifest
+        without `cap_per_shard`) — a deployment can switch INDEX_SHARDS on
+        and keep its corpus."""
         import json
         from pathlib import Path
+
+        from financial_rag_tpu.index.persist import STR_TO_DTYPE, decode_payload
+        from financial_rag_tpu.ops.common import round_up
 
         d = Path(directory)
         manifest = json.loads((d / f"{name}.manifest.json").read_text())
         data = np.load(d / f"{name}.npz")
-        idx = cls(mesh, dim=manifest["dim"],
-                  capacity_per_shard=manifest["cap_per_shard"], name=name, **kwargs)
-        # re-shard the saved rows onto the (possibly different-size) mesh:
-        # replay live vectors through upsert so slot balancing stays valid
         valid, ids, vectors = data["valid"], data["ids"], data["vectors"]
+        saved_dtype = manifest.get("dtype")
+        if "dtype" not in kwargs and saved_dtype in STR_TO_DTYPE:
+            kwargs["dtype"] = STR_TO_DTYPE[saved_dtype]
+        n_shards = mesh.shape[kwargs.get("axis", "shard")]
+        cap = manifest.get("cap_per_shard") or round_up(
+            max(int((valid > 0).sum()) // max(n_shards, 1) * 2, TILE), TILE)
+        idx = cls(mesh, dim=manifest["dim"], capacity_per_shard=cap,
+                  name=name, **kwargs)
         live = np.nonzero(valid > 0)[0]
         if len(live):
-            idx.upsert(ids[live], vectors[live])
+            idx.upsert(ids[live], decode_payload(vectors[live], saved_dtype))
         return idx
 
     def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:

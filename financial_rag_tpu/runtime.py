@@ -103,30 +103,57 @@ class Runtime:
         for name in dual.names:
             coll = collection_slug(getattr(cfg.encoders, f"{name}_name", name))
             dim = getattr(encoders[name], "dim", cfg.index.dim)
-            if shards > 1:
+            if shards > 1 and cfg.index.kind == "ivf":
+                # the 10M-chunk configuration (BASELINE configs[4]): one IVF
+                # partition per device, round-robin routing, host-side merge
+                from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+                sname = f"{coll}_ivf_sharded"
+                if (persist / f"{sname}_0.manifest.json").exists():
+                    indexes[name] = ShardedIVFIndex.load(
+                        persist, n_shards=shards, name=sname)
+                    log.info("sharded ivf index %s: reloaded %d vectors",
+                             coll, indexes[name].count())
+                else:
+                    indexes[name] = ShardedIVFIndex(
+                        dim=dim, n_shards=shards, nlist=cfg.index.ivf_nlist,
+                        list_size=max(cfg.index.capacity // shards
+                                      // cfg.index.ivf_nlist * 2, 128),
+                        nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
+                        name=sname)
+                    log.info("index %s: IVF sharded over %d devices", coll, shards)
+            elif shards > 1:
                 from financial_rag_tpu.parallel.mesh import search_mesh
                 from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
 
                 mesh = search_mesh(n_shards=shards)
-                indexes[name] = ShardedFlatIndex(
-                    mesh, dim=dim,
-                    capacity_per_shard=max(cfg.index.capacity // shards, 1024),
-                    dtype=index_dtype, name=coll)
-                log.info("index %s: sharded over %d devices", coll, shards)
+                if (persist / f"{coll}.manifest.json").exists():
+                    indexes[name] = ShardedFlatIndex.load(
+                        persist, mesh, name=coll, dtype=index_dtype)
+                    log.info("sharded index %s: reloaded %d vectors over %d devices",
+                             coll, indexes[name].count(), shards)
+                else:
+                    indexes[name] = ShardedFlatIndex(
+                        mesh, dim=dim,
+                        capacity_per_shard=max(cfg.index.capacity // shards, 1024),
+                        dtype=index_dtype, name=coll)
+                    log.info("index %s: sharded over %d devices", coll, shards)
             elif cfg.index.kind == "ivf":
                 from financial_rag_tpu.index.ivf import IVFIndex
 
                 if (persist / f"{coll}_ivf.manifest.json").exists():
-                    indexes[name] = IVFIndex.load(persist, name=f"{coll}_ivf")
+                    indexes[name] = IVFIndex.load(persist, name=f"{coll}_ivf",
+                                                  dtype=index_dtype)
                     log.info("ivf index %s: reloaded %d vectors", coll,
                              indexes[name].count())
                 else:
                     indexes[name] = IVFIndex(
                         dim=dim, nlist=cfg.index.ivf_nlist,
                         list_size=max(cfg.index.capacity // cfg.index.ivf_nlist * 2, 128),
-                        nprobe=cfg.index.ivf_nprobe, name=f"{coll}_ivf")
+                        nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
+                        name=f"{coll}_ivf")
             elif (persist / f"{coll}.npz").exists():
-                indexes[name] = FlatIndex.load(persist, name=coll)
+                indexes[name] = FlatIndex.load(persist, name=coll, dtype=index_dtype)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
                 indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity,
@@ -170,13 +197,8 @@ class Runtime:
         persist = Path(data_dir) / self.config.index.persist_dir
         saved = 0
         for idx in self.indexes.values():
-            if hasattr(idx, "save"):
-                idx.save(persist)
-                saved += 1
-            else:
-                # sharded indexes rebuild from the host stores on restart
-                # (ROADMAP: shard-checkpoint persistence)
-                log.warning("index %s has no persistence; skipped", idx.name)
+            idx.save(persist)
+            saved += 1
         log.info("persisted %d/%d indexes to %s", saved, len(self.indexes), persist)
 
     def make_processor(self, data_dir: str | Path = "."):

@@ -132,6 +132,38 @@ class TestFlatIndex:
         b_ids, b_s = idx2.search(q, 5)
         np.testing.assert_array_equal(a_ids, b_ids)
 
+    def test_int8_save_load_restores_dtype_and_scale(self, rng, tmp_path):
+        """Manifest dtype drives reload: an int8 index must come back int8
+        with identical scores, and a load into a float dtype must rescale
+        the ±127 payload back to unit-vector space."""
+        import jax.numpy as jnp
+
+        d, n = 96, 400
+        x = _unit(rng, n, d)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx = FlatIndex(dim=d, capacity=1024, dtype=jnp.int8, name="q8")
+        idx.upsert(ids, x)
+        idx.save(tmp_path)
+        q = _unit(rng, 3, d)
+        a_ids, a_s = idx.search(q, 5)
+
+        # default reload: dtype comes from the manifest
+        idx2 = FlatIndex.load(tmp_path, name="q8")
+        assert idx2.dtype == jnp.int8
+        b_ids, b_s = idx2.search(q, 5)
+        np.testing.assert_array_equal(a_ids, b_ids)
+        np.testing.assert_allclose(a_s, b_s, atol=1e-5)
+
+        # dtype override: payload rescaled into unit space, scores cosine.
+        # (int8 search quantizes the queries too, so near-ties may swap rank
+        # vs float scoring — compare candidate sets and score scale.)
+        idx3 = FlatIndex.load(tmp_path, name="q8", dtype=jnp.float32)
+        c_ids, c_s = idx3.search(q, 5)
+        for a_row, c_row in zip(a_ids, c_ids):
+            assert len(set(a_row.tolist()) & set(c_row.tolist())) >= 4
+        np.testing.assert_allclose(np.sort(a_s), np.sort(c_s), atol=1e-2)
+        assert np.all(np.abs(c_s) <= 1.01)  # not 127x mis-scaled
+
 
 class TestKMeans:
     def test_clusters_separate_data(self):

@@ -80,6 +80,46 @@ class TestShardedIndex:
         assert 1 not in got2 and 2 not in got2
 
 
+    def test_grows_past_initial_capacity(self, eight_devices):
+        """Upserting beyond capacity doubles per-shard capacity in place
+        (round 1 raised RuntimeError); results stay oracle-exact across the
+        growth boundary."""
+        rng = np.random.default_rng(9)
+        d, k = 32, 8
+        mesh = search_mesh(devices=eight_devices[:2])
+        idx = ShardedFlatIndex(mesh, dim=d, capacity_per_shard=1024, dtype=jnp.float32)
+        n = 3000  # > 2 shards x 1024
+        x = _unit(rng, n, d)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx.upsert(ids[:2000], x[:2000])
+        idx.search(_unit(rng, 2, d), k)          # prime compiled path pre-growth
+        idx.upsert(ids[2000:], x[2000:])         # triggers growth
+        assert idx.count() == n
+        assert idx.cap_per_shard == 2048
+
+        q = _unit(rng, 4, d)
+        got_ids, got_s = idx.search(q, k)
+        s = q @ x.T
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        np.testing.assert_array_equal(np.sort(got_ids, axis=1),
+                                      np.sort(ids[order], axis=1))
+        np.testing.assert_allclose(np.sort(got_s, axis=1)[:, ::-1],
+                                   np.take_along_axis(s, order, axis=1), atol=1e-5)
+
+    def test_int8_storage(self, eight_devices):
+        """int8 sharded corpus quantizes on upsert (not truncates) and
+        scores in cosine range."""
+        rng = np.random.default_rng(13)
+        d = 64
+        mesh = search_mesh(devices=eight_devices[:2])
+        idx = ShardedFlatIndex(mesh, dim=d, capacity_per_shard=1024, dtype=jnp.int8)
+        x = _unit(rng, 128, d)
+        idx.upsert(np.arange(1, 129, dtype=np.int64), x)
+        got, s = idx.search(x[5:6], 3)
+        assert got[0, 0] == 6
+        assert s[0, 0] > 0.98
+
+
 class TestShardedPersistence:
     def test_save_load_across_mesh_sizes(self, eight_devices, tmp_path):
         rng = np.random.default_rng(11)

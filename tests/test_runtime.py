@@ -66,6 +66,118 @@ class TestRuntime:
         out = rt.engine.query("credit note number")
         assert out["success"] and out["top_children_chunks"]
 
+    def test_sharded_persist_and_reload(self, tmp_path, monkeypatch,
+                                        reference_fixture_json):
+        """INDEX_SHARDS>1 restart: the persisted sharded index must be
+        reloaded (round 1 silently rebuilt empty while the ledger said
+        'embedded' — retrieval returned nothing after restart)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        monkeypatch.setenv("INDEX_SHARDS", "8")
+        rt = Runtime.build(data_dir=tmp_path)
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        counts = {n: i.count() for n, i in rt.indexes.items()}
+        assert all(c > 0 for c in counts.values())
+        rt.save_indexes(tmp_path)
+
+        rt2 = Runtime.build(data_dir=tmp_path)
+        from financial_rag_tpu.parallel.sharded_index import ShardedFlatIndex
+
+        assert all(isinstance(i, ShardedFlatIndex) for i in rt2.indexes.values())
+        assert {n: i.count() for n, i in rt2.indexes.items()} == counts
+        out = rt2.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
+    def test_flat_checkpoint_loads_into_sharded_mode(self, tmp_path, monkeypatch,
+                                                     reference_fixture_json):
+        """Switching INDEX_SHARDS on must keep the existing flat corpus."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        rt = Runtime.build(data_dir=tmp_path)
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        counts = {n: i.count() for n, i in rt.indexes.items()}
+        rt.save_indexes(tmp_path)
+
+        monkeypatch.setenv("INDEX_SHARDS", "8")
+        rt2 = Runtime.build(data_dir=tmp_path)
+        assert {n: i.count() for n, i in rt2.indexes.items()} == counts
+        out = rt2.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
+    def test_sharded_ivf_mode(self, tmp_path, monkeypatch, reference_fixture_json):
+        """INDEX_KIND=ivf + INDEX_SHARDS>1 composes to ShardedIVFIndex (the
+        10M-chunk configuration, BASELINE configs[4]) with streaming
+        ingest-then-search and persistence."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        monkeypatch.setenv("INDEX_KIND", "ivf")
+        monkeypatch.setenv("INDEX_SHARDS", "8")
+        monkeypatch.setenv("IVF_NLIST", "4")
+        monkeypatch.setenv("IVF_NPROBE", "4")
+        rt = Runtime.build(data_dir=tmp_path)
+        from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        assert all(isinstance(i, ShardedIVFIndex) for i in rt.indexes.values())
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
+        # streaming regime: more ingest AFTER a search must be searchable
+        src2 = tmp_path / "extra.json"
+        src2.write_text(json.dumps({"blocks": [
+            {"content": "The warehouse lease deposit equals 7,77,777 rupees. " * 12,
+             "page": 0}]}))
+        rt.pipeline.ingest_extracted_json(src2, "extra")
+        out = rt.engine.query("warehouse lease deposit")
+        assert out["success"]
+        assert any("7,77,777" in c["text"] for c in out["top_children_chunks"])
+
+        counts = {n: i.count() for n, i in rt.indexes.items()}
+        rt.save_indexes(tmp_path)
+        rt2 = Runtime.build(data_dir=tmp_path)
+        assert all(isinstance(i, ShardedIVFIndex) for i in rt2.indexes.values())
+        assert {n: i.count() for n, i in rt2.indexes.items()} == counts
+
+    def test_int8_persist_and_reload(self, tmp_path, monkeypatch,
+                                     reference_fixture_json):
+        """int8 index restart: reload must restore int8 storage (round 1
+        reloaded ±127 payloads into a bf16 index, mis-scaling every score
+        and burying post-restart upserts ~127x below old vectors)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        monkeypatch.setenv("INDEX_DTYPE", "int8")
+        rt = Runtime.build(data_dir=tmp_path)
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        q = rt.dual_encoder.encoders["baai"].encode(["credit note number"])
+        ids_before, scores_before = rt.indexes["baai"].search(q, 3)
+        rt.save_indexes(tmp_path)
+
+        rt2 = Runtime.build(data_dir=tmp_path)
+        assert all(i.dtype == jnp.int8 for i in rt2.indexes.values())
+        ids_after, scores_after = rt2.indexes["baai"].search(q, 3)
+        np.testing.assert_array_equal(ids_before, ids_after)
+        np.testing.assert_allclose(scores_before, scores_after, atol=2e-2)
+        # old and new vectors live on the same scale: a fresh upsert of the
+        # exact query vector must win immediately
+        rt2.indexes["baai"].upsert([123456789], q)
+        ids, scores = rt2.indexes["baai"].search(q, 1)
+        assert ids[0, 0] == 123456789 and scores[0, 0] > 0.98
+
     def test_int8_mode(self, tmp_path, monkeypatch, reference_fixture_json):
         import jax.numpy as jnp
 
