@@ -191,6 +191,9 @@ class ServingConfig:
     sse_inter_event_delay_s: float = field(default_factory=lambda: _env("SSE_DELAY_S", 0.0))
     max_query_len: int = 1000
     result_cache_ttl_s: float = 3600.0
+    # cadence of the system-performance recorder (cpu/mem/qpm/error-rate ->
+    # feedback db, reference feedback_database.py:673-694); 0 disables
+    sysperf_interval_s: float = field(default_factory=lambda: _env("SYSPERF_INTERVAL_S", 60.0))
 
 
 @dataclass

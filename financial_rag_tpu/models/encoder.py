@@ -161,35 +161,70 @@ class TokenEncoder:
     encoder last hidden states with CLS/SEP dropped, L2-normalized
     (semantics of reference multivector_store.py:100-110)."""
 
-    def __init__(self, encoder: Encoder, max_tokens: int = 128) -> None:
+    def __init__(self, encoder: Encoder, max_tokens: int = 128,
+                 batch_size: int = 32) -> None:
         self.encoder = encoder
         self.max_tokens = max_tokens
+        self.batch_size = batch_size
+        self._fns: Dict[int, object] = {}
 
-    def encode_tokens(self, texts: Sequence[str]) -> List[np.ndarray]:
-        from financial_rag_tpu.models.bert import bert_forward
+    def _fn(self, seq_len: int):
+        """Jitted batched last-hidden-states forward, cached per bucket."""
+        fn = self._fns.get(seq_len)
+        if fn is None:
+            from functools import partial
 
-        enc = self.encoder
-        out: List[np.ndarray] = []
-        for text in texts:  # token outputs are ragged; batch in buckets later
-            seq = enc.tokenizer.encode(text, max_len=self.max_tokens + 2)
-            n = len(seq)
-            pad_to = min(max(64, ((n + 63) // 64) * 64), enc.max_seq_len)
-            ids = np.full((1, pad_to), enc.tokenizer.pad_id, np.int32)
-            mask = np.zeros((1, pad_to), np.int32)
-            ids[0, :n] = seq
-            mask[0, :n] = 1
+            import jax
+
+            from financial_rag_tpu.models.bert import bert_forward
+
+            enc = self.encoder
             impl = enc.attention_impl
             if impl == "auto":
-                impl = "xla"  # batch-1 short sequences: kernel overhead loses
-            hidden = bert_forward(
-                enc.params, jnp.asarray(ids), jnp.asarray(mask),
-                config=enc.config, compute_dtype=enc.compute_dtype,
-                attention_impl=impl)
-            vecs = np.asarray(hidden[0, 1: n - 1], np.float32)  # drop CLS/SEP
-            if len(vecs) == 0:
-                vecs = np.asarray(hidden[0, :1], np.float32)
-            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            out.append(vecs)
+                impl = "xla"  # short sequences: kernel launch overhead loses
+            fn = jax.jit(partial(
+                bert_forward, config=enc.config,
+                compute_dtype=enc.compute_dtype, attention_impl=impl))
+            self._fns[seq_len] = fn
+        return fn
+
+    def encode_tokens(self, texts: Sequence[str]) -> List[np.ndarray]:
+        """Per-text ragged token embeddings, computed in length-bucketed
+        batched forwards (one device call per bucket chunk) — the batch-1
+        loop this replaces was the exact reference pattern the framework
+        exists to kill (reference local_embedder.py:160-184)."""
+        enc = self.encoder
+        if not len(texts):
+            return []
+        seqs = [enc.tokenizer.encode(t, max_len=self.max_tokens + 2) for t in texts]
+        buckets: Dict[int, List[int]] = {}
+        for i, s in enumerate(seqs):
+            pad_to = min(max(64, ((len(s) + 63) // 64) * 64), enc.max_seq_len)
+            buckets.setdefault(pad_to, []).append(i)
+
+        out: List[Optional[np.ndarray]] = [None] * len(texts)
+        pad_id = enc.tokenizer.pad_id
+        for seq_len, idxs in sorted(buckets.items()):
+            for lo in range(0, len(idxs), self.batch_size):
+                batch_idx = idxs[lo: lo + self.batch_size]
+                n = len(batch_idx)
+                bsz = 8 if n <= 8 else self.batch_size
+                ids = np.full((bsz, seq_len), pad_id, np.int32)
+                mask = np.zeros((bsz, seq_len), np.int32)
+                for r, i in enumerate(batch_idx):
+                    s = seqs[i][:seq_len]
+                    ids[r, : len(s)] = s
+                    mask[r, : len(s)] = 1
+                mask[n:, 0] = 1  # pad rows must be non-empty for masked ops
+                hidden = np.asarray(self._fn(seq_len)(
+                    enc.params, jnp.asarray(ids), jnp.asarray(mask)), np.float32)
+                for r, i in enumerate(batch_idx):
+                    ln = len(seqs[i])
+                    vecs = hidden[r, 1: ln - 1]  # drop CLS/SEP
+                    if len(vecs) == 0:
+                        vecs = hidden[r, :1]
+                    out[i] = vecs / np.maximum(
+                        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         return out
 
 

@@ -25,7 +25,9 @@ struct Vocab {
 inline bool is_ws(unsigned char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r';
 }
-inline bool is_ctrl(unsigned char c) { return c < 0x20 && !is_ws(c); }
+// Unicode Cc in ASCII range: C0 block plus DEL (0x7f) — HF's BasicTokenizer
+// strips both, and _native_safe routes '\x7f' here (str.isascii() is true).
+inline bool is_ctrl(unsigned char c) { return (c < 0x20 || c == 0x7f) && !is_ws(c); }
 inline bool is_punct(unsigned char c) {
   return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
          (c >= 123 && c <= 126);

@@ -74,6 +74,12 @@ class RagApi:
         self.cfg = config or FrameworkConfig()
         self.src_dir = Path(source_dir or self.cfg.ingest.source_dir)
         self.executor = ThreadPoolExecutor(max_workers=8, thread_name_prefix="search")
+        from financial_rag_tpu.utils.sysperf import SystemPerformanceRecorder
+
+        self.sysperf = SystemPerformanceRecorder(
+            engine.feedback_db, interval_s=self.cfg.serving.sysperf_interval_s)
+        if engine.feedback_db is not None and self.cfg.serving.sysperf_interval_s > 0:
+            self.sysperf.start()
         self.url_map = Map([
             Rule("/", endpoint="ui", methods=["GET"]),
             Rule("/search", endpoint="search", methods=["POST", "OPTIONS"]),
@@ -137,7 +143,12 @@ class RagApi:
         try:
             result = future.result(timeout=self.cfg.serving.request_timeout_s)
         except FuturesTimeout:
+            self.sysperf.record_request(ok=False)
             return _json({"error": "Search timed out. Please try again."}, 504)
+        except Exception:
+            self.sysperf.record_request(ok=False)
+            raise
+        self.sysperf.record_request(ok=result.get("success", True))
 
         documents = format_chunks_for_ui(
             result.get("top_children_chunks") or result.get("chunks") or [])
@@ -170,13 +181,32 @@ class RagApi:
                 # genuine progressive streaming: chunks flush as soon as
                 # retrieval+rerank finish, the answer follows after LLM
                 # synthesis (the reference computes everything, then sleeps
-                # 0.5s between events — reference api_server.py:1137)
+                # 0.5s between events — reference api_server.py:1137).
+                # Each phase advances inside the executor with a deadline so
+                # a hung retrieval/rerank/LLM call becomes a timeout event
+                # (same bound on_search enforces with future.result).
                 deadline = time.monotonic() + timeout
-                for phase, payload in self.engine.query_stream(query, filters=filters):
-                    if time.monotonic() > deadline:
+                stream = iter(self.engine.query_stream(query, filters=filters))
+                done = object()
+                while True:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        self.sysperf.record_request(ok=False)
                         yield sse({"type": "error",
                                    "data": {"error": "Streaming search timed out. Please try again."}})
                         return
+                    step_future = self.executor.submit(next, stream, done)
+                    try:
+                        step = step_future.result(timeout=remaining)
+                    except FuturesTimeout:
+                        step_future.cancel()
+                        self.sysperf.record_request(ok=False)
+                        yield sse({"type": "error",
+                                   "data": {"error": "Streaming search timed out. Please try again."}})
+                        return
+                    if step is done:
+                        break
+                    phase, payload = step
                     if phase == "chunks":
                         yield sse({"type": "chunks",
                                    "data": {"documents": format_chunks_for_ui(payload)}})
@@ -188,8 +218,10 @@ class RagApi:
                                             format_ai_response(payload.get("answer", ""))}})
                         yield sse({"type": "complete",
                                    "data": {"status": "success", "method": "rag_enhanced"}})
+                        self.sysperf.record_request(ok=True)
             except Exception as e:  # noqa: BLE001 — stream errors become events
                 log.exception("search-stream failed")
+                self.sysperf.record_request(ok=False)
                 yield sse({"type": "error", "data": {"error": str(e)}})
 
         return Response(generate(), mimetype="text/event-stream",
@@ -297,10 +329,12 @@ class RagApi:
     # -------------------------------------------------------------- extras
 
     def on_metrics(self, request: Request) -> Response:
-        out = {"timings": GLOBAL_TIMER.summary()}
+        out = {"timings": GLOBAL_TIMER.summary(),
+               "system": self.sysperf.snapshot()}
         if self.engine.feedback_db is not None:
             out["performance"] = self.engine.feedback_db.performance_summary()
             out["suggestions"] = self.engine.feedback_db.optimization_suggestions()
+            out["system_history"] = self.engine.feedback_db.recent_system_performance()
         return _json(out)
 
     def on_feedback(self, request: Request) -> Response:

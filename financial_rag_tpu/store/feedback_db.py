@@ -134,6 +134,14 @@ class FeedbackDatabase:
                        queries_per_minute, error_rate) VALUES (?,?,?,?,?)""",
                 (time.time(), cpu_pct, mem_pct, queries_per_minute, error_rate))
 
+    def recent_system_performance(self, limit: int = 10) -> List[dict]:
+        rows = self._conn().execute(
+            """SELECT timestamp, cpu_pct, mem_pct, queries_per_minute, error_rate
+               FROM system_performance ORDER BY timestamp DESC LIMIT ?""",
+            (limit,)).fetchall()
+        return [{"timestamp": r[0], "cpu_pct": r[1], "mem_pct": r[2],
+                 "queries_per_minute": r[3], "error_rate": r[4]} for r in rows]
+
     def performance_summary(self, window_s: float = 24 * 3600) -> dict:
         cutoff = time.time() - window_s
         rows = self._conn().execute(

@@ -149,6 +149,55 @@ class TestAPI:
         assert events[0]["data"]["documents"]
         assert events[1]["data"]["aiResponse"]["summary"]
 
+    def test_search_stream_hung_phase_times_out(self, stack):
+        """A retrieval/rerank/LLM phase that blocks must surface as an SSE
+        error event bounded by request_timeout_s, not hang the stream
+        (on_search already bounds its whole query the same way)."""
+        import time as _time
+
+        engine, client, *_ = stack
+        rag_api = client.application  # the RagApi WSGI instance
+
+        def hung_stream(query, filters=None):
+            _time.sleep(30)
+            yield "chunks", []
+
+        orig_stream = engine.query_stream
+        orig_timeout = rag_api.cfg.serving.request_timeout_s
+        engine.query_stream = hung_stream
+        rag_api.cfg.serving.request_timeout_s = 0.5
+        try:
+            t0 = _time.monotonic()
+            resp = client.post("/search-stream", json={"query": "GST amount"})
+            events = [json.loads(line[6:]) for line in
+                      resp.get_data(as_text=True).splitlines()
+                      if line.startswith("data: ")]
+            elapsed = _time.monotonic() - t0
+            assert elapsed < 10, f"stream hung {elapsed:.1f}s"
+            assert events and events[-1]["type"] == "error"
+            assert "timed out" in events[-1]["data"]["error"]
+        finally:
+            engine.query_stream = orig_stream
+            rag_api.cfg.serving.request_timeout_s = orig_timeout
+
+    def test_system_performance_recorded(self, stack):
+        """Requests feed the system_performance table and /metrics surfaces
+        both a live snapshot and history (reference feedback_database.py:
+        673-694 records cpu/mem/qpm/error-rate periodically)."""
+        engine, client, tmp_path, processor, fdb = stack
+        rag_api = client.application
+        client.post("/search", json={"query": "GST amount"})
+        # stream records on the complete event -> must consume the generator
+        client.post("/search-stream", json={"query": "invoice total"}).get_data()
+        row = rag_api.sysperf.record_now()  # deterministic snapshot for the test
+        assert row["queries_per_minute"] >= 2
+        assert row["error_rate"] == 0.0
+        hist = fdb.recent_system_performance()
+        assert hist and hist[0]["queries_per_minute"] >= 2
+        m = client.get("/metrics").get_json()
+        assert "system" in m
+        assert m["system_history"][0]["queries_per_minute"] >= 2
+
     def test_health_filters_monitoring(self, stack):
         engine, client, *_ = stack
         assert client.get("/health").get_json()["status"] == "healthy"

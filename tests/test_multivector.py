@@ -145,3 +145,39 @@ class TestMultiVectorIndex:
         q = -vs[0] / np.linalg.norm(-vs[0], axis=1, keepdims=True)
         hits = idx.search_aggregate(q, top_k=1)
         assert hits[0]["child_id"] == 1
+
+
+class TestTokenEncoderBatched:
+    def test_batched_matches_per_text(self):
+        """encode_tokens runs length-bucketed batched forwards; results must
+        be identical (same ragged shapes, same values) to one-text-at-a-time
+        calls — the reference-shaped loop it replaced."""
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models.checkpoint import random_params
+        from financial_rag_tpu.models.encoder import Encoder, TokenEncoder
+
+        cfg = ModelConfig(name="tiny", hidden_size=64, num_layers=2, num_heads=4,
+                          intermediate_size=128, vocab_size=30522,
+                          max_position=512, type_vocab_size=2,
+                          layer_norm_eps=1e-12)
+        enc = Encoder(cfg, random_params(cfg, seed=0), pooling="mean",
+                      batch_size=8, max_seq_len=256)
+        tok = TokenEncoder(enc, max_tokens=64, batch_size=4)
+
+        texts = [
+            "short one",
+            "the lock-in period is thirty six months from rent commencement",
+            "gst at eighteen percent on the total invoice value of rupees "
+            "one lakh eighteen thousand " * 3,
+            "a",
+            "credit note number and date fields appear on the tax invoice",
+            "warehouse lease deposit equals seven lakh rupees",
+        ]
+        batched = tok.encode_tokens(texts)
+        single = [tok.encode_tokens([t])[0] for t in texts]
+        assert len(batched) == len(texts)
+        for b, s in zip(batched, single):
+            assert b.shape == s.shape
+            np.testing.assert_allclose(b, s, atol=2e-5)
+            # unit-normalized rows
+            np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0, atol=1e-5)

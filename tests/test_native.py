@@ -20,6 +20,8 @@ ASCII_CASES = [
     "UPPER lower MiXeD\t\ttabs\nnewlines   spaces",
     "x" * 150,  # long-word -> UNK
     "a",
+    "del\x7fchar splits\x7f like control",  # DEL is Cc: stripped, not kept in-word
+    "bell\x07 and\x1f unit separators",
 ]
 
 
