@@ -1,12 +1,24 @@
-"""Headline benchmark: query throughput on a 100k-chunk child index.
+"""Headline benchmarks: the three hot-path numbers in one JSON line.
 
-BASELINE.md target: >=50,000 QPS on a 100k-chunk index (v5e-8 budget; this
-harness runs on however many chips are visible — currently one). Measures
-the serving search path: fused Pallas bucketed top-k sweep (k=24, the
-reference's retrieval candidate count) over a bf16 [100k, 384] corpus with
-a 128-query batch, plus recall@24 against an exact f32 numpy oracle.
+1. search QPS on a 100k-chunk child index (primary metric) — BASELINE.md
+   target >=50,000 QPS (v5e-8 budget; runs on however many chips are
+   visible — currently one). Fused Pallas bucketed top-k sweep (k=24, the
+   reference's retrieval candidate count) over a bf16 [100k, 384] corpus,
+   128-query batch, plus recall@24 vs an exact f32 numpy oracle.
+2. encode throughput (chunks/s/chip): 12-layer 384-d bf16 encoder forward,
+   batch 128 x seq 512 with fused Pallas attention (the ingest hot loop;
+   replaces reference local_embedder.py:160-184's batch-1 torch loop).
+3. rerank latency (ms per 64x512-token pairs): 6-layer MiniLM-shaped
+   cross-encoder forward, Pallas attention + fused FFN (the query hot loop;
+   replaces reference document_reranker.py:231's CPU CrossEncoder.predict).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Timing discipline (axon tunnel: async dispatch, ~8ms/transfer): iterations
+are chained inside one lax.scan with a data dependency, and the reported
+time is the SLOPE between two scan lengths, so fixed dispatch+fetch
+overhead cancels. Profiler-verified to match the device timeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"extra_metrics": [...]}.
 """
 
 import json
@@ -15,24 +27,29 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 50_000.0
+BASELINE_QPS = 50_000.0          # BASELINE.md serving target
+BASELINE_ENCODE_CPS = 3_300.0    # round-1 measured chunks/s/chip (s=512)
+TARGET_RERANK_MS = 25.0          # VERDICT r1 #4 target for 64x512 pairs
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def slope_time(make_loop, iters_a: int, iters_b: int) -> float:
+    """Seconds per iteration: slope between two scan lengths."""
+    t = {}
+    for length in (iters_a, iters_b):
+        loop = make_loop(length)
+        _ = float(loop())  # compile + warm
+        t0 = time.time()
+        _ = float(loop())
+        t[length] = time.time() - t0
+    return max((t[iters_b] - t[iters_a]) / (iters_b - iters_a), 1e-9)
 
-    from financial_rag_tpu.models.encoder import setup_compilation_cache
+
+def bench_search(jax, jnp, on_tpu):
     from financial_rag_tpu.ops.topk import bucketed_topk_fused, topk_matmul_reference
-
-    setup_compilation_cache()
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    log(f"backend={backend} devices={jax.devices()}")
 
     nq, n, d, k = 128, 102_400, 384, 24
     if not on_tpu:
@@ -43,64 +60,143 @@ def main() -> None:
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     x = rng.standard_normal((n, d)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    valid = np.ones(n, np.float32)
 
     xd = jnp.asarray(x, jnp.bfloat16)
     qd = jnp.asarray(q)
-    vd = jnp.asarray(valid)
+    vd = jnp.asarray(np.ones(n, np.float32))
 
     if on_tpu:
         raw = lambda qq: bucketed_topk_fused(qq, xd, vd, k, interpret=False)  # noqa: E731
     else:
         raw = lambda qq: topk_matmul_reference(qq, xd, vd, k)  # noqa: E731
 
-    fn = jax.jit(raw)
-    t0 = time.time()
-    s, i = fn(qd)
-    _ = float(jnp.sum(s))  # force real completion (tunnel-safe sync)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
-
-    # steady-state: chain sweeps inside ONE device program (lax.scan with a
-    # data dependency between iterations), then take the SLOPE between two
-    # scan lengths so fixed host/tunnel dispatch+fetch overhead cancels —
-    # profiler-verified to match the device timeline (161us/sweep on v5e)
-    iters_a, iters_b = (100, 500) if on_tpu else (5, 15)
-
     def chained(q_carry, _):
         s_, i_ = raw(q_carry)
-        q_next = q_carry + 0.0 * s_[0, 0]
-        return q_next, None
+        return q_carry + 0.0 * s_[0, 0], None
 
-    def timed_loop(length: int) -> float:
+    def make_loop(length):
         loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
-        q_out = loop(qd)
-        _ = float(jnp.sum(q_out))  # warm + compile
-        t0 = time.time()
-        q_out = loop(qd)
-        _ = float(jnp.sum(q_out))
-        return time.time() - t0
+        return lambda: jnp.sum(loop(qd))
 
-    t_a, t_b = timed_loop(iters_a), timed_loop(iters_b)
-    dt = max((t_b - t_a) / (iters_b - iters_a), 1e-9)
+    iters = (100, 500) if on_tpu else (5, 15)
+    dt = slope_time(make_loop, *iters)
     qps = nq / dt
 
-    s, i = fn(qd)  # results for the recall check
-
-    # recall@24 vs exact f32 oracle
+    s, i = jax.jit(raw)(qd)
     sref = q @ x.T
     order = np.argsort(-sref, axis=1, kind="stable")[:, :k]
     got = np.asarray(i)
     recall = float(np.mean([len(set(a) & set(b)) / k for a, b in zip(got, order)]))
+    log(f"search: {dt * 1e3:.3f} ms/batch of {nq} -> {qps:,.0f} QPS, recall@{k}={recall:.4f}")
+    return qps, dt, recall, n, nq, k
 
-    log(f"sweep {dt * 1e3:.3f} ms/batch of {nq} -> {qps:,.0f} QPS, recall@{k}={recall:.4f}")
+
+def bench_encode(jax, jnp, on_tpu):
+    from functools import partial
+
+    from financial_rag_tpu.config import ModelConfig
+    from financial_rag_tpu.models.bert import bert_encode
+    from financial_rag_tpu.models.checkpoint import random_params
+
+    cfg = ModelConfig(name="bge-small-shape", hidden_size=384, num_layers=12,
+                      num_heads=12, intermediate_size=1536, vocab_size=30522,
+                      max_position=512)
+    params = random_params(cfg, seed=0)
+    B, S = (128, 512) if on_tpu else (8, 128)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(5, 30000, size=(B, S)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, S), np.int32))
+    impl = "pallas" if on_tpu else "xla"
+    raw = partial(bert_encode, config=cfg, pooling="mean",
+                  compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                  attention_impl=impl, use_pallas_pool=on_tpu,
+                  use_fused_ffn=on_tpu)
+
+    def chained(carry, _):
+        emb = raw(params, ids, mask)
+        return carry + 0.0 * emb[0, 0], None
+
+    def make_loop(length):
+        loop = jax.jit(lambda c0: jax.lax.scan(chained, c0, None, length=length)[0])
+        return lambda: loop(0.0)
+
+    iters = (10, 40) if on_tpu else (2, 6)
+    dt = slope_time(make_loop, *iters)
+    cps = B / dt
+    log(f"encode: {dt * 1e3:.2f} ms / {B}x{S} -> {cps:,.0f} chunks/s/chip")
+    return cps, dt, B, S
+
+
+def bench_rerank(jax, jnp, on_tpu):
+    from functools import partial
+
+    from financial_rag_tpu.config import ModelConfig
+    from financial_rag_tpu.models.bert import cross_encoder_forward
+    from financial_rag_tpu.models.checkpoint import random_params
+
+    cfg = ModelConfig(name="minilm6-shape", hidden_size=384, num_layers=6,
+                      num_heads=12, intermediate_size=1536, vocab_size=30522,
+                      max_position=512, num_labels=1)
+    params = random_params(cfg, seed=0)
+    B, S = (64, 512) if on_tpu else (8, 128)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(5, 30000, size=(B, S)).astype(np.int32))
+    mask = jnp.asarray(np.ones((B, S), np.int32))
+    types = jnp.asarray(np.zeros((B, S), np.int32))
+    raw = partial(cross_encoder_forward, config=cfg,
+                  compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                  attention_impl="pallas" if on_tpu else "xla",
+                  use_fused_ffn=on_tpu)
+
+    def chained(carry, _):
+        logits = raw(params, ids, mask, types)
+        return carry + 0.0 * logits[0], None
+
+    def make_loop(length):
+        loop = jax.jit(lambda c0: jax.lax.scan(chained, c0, None, length=length)[0])
+        return lambda: loop(0.0)
+
+    iters = (10, 40) if on_tpu else (2, 6)
+    dt = slope_time(make_loop, *iters)
+    log(f"rerank: {dt * 1e3:.2f} ms / {B}x{S} pairs")
+    return dt, B, S
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_tpu.models.encoder import setup_compilation_cache
+
+    setup_compilation_cache()
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()}")
+
+    qps, dt_search, recall, n, nq, k = bench_search(jax, jnp, on_tpu)
+    cps, dt_enc, eb, es = bench_encode(jax, jnp, on_tpu)
+    dt_rr, rb, rs = bench_rerank(jax, jnp, on_tpu)
+    rr_ms = dt_rr * 1e3
+
     print(json.dumps({
         "metric": f"search QPS @ {n // 1000}k chunks (k={k}, batch={nq}, bf16 corpus)",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "recall_at_24_vs_f32_oracle": round(recall, 4),
-        "latency_ms_per_batch": round(dt * 1e3, 3),
+        "latency_ms_per_batch": round(dt_search * 1e3, 3),
+        "n_chunks": n,
         "backend": backend,
+        "extra_metrics": [
+            {"metric": f"encode throughput ({eb}x{es}, 12L, "
+             f"{'pallas attn bf16' if on_tpu else 'xla f32'})",
+             "value": round(cps, 1), "unit": "chunks/s/chip",
+             "vs_baseline": round(cps / BASELINE_ENCODE_CPS, 3)},
+            {"metric": f"rerank latency ({rb}x{rs} pairs, 6L, "
+             f"{'pallas+fused bf16' if on_tpu else 'xla f32'})",
+             "value": round(rr_ms, 2), "unit": "ms",
+             "vs_baseline": round(TARGET_RERANK_MS / rr_ms, 3)},
+        ],
     }))
 
 
