@@ -52,24 +52,45 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, num_heads: int, head
         out_ref[0, :, lo: lo + head_dim] = o.astype(out_ref.dtype)
 
 
-def flash_attention(
-    q: jnp.ndarray,            # [B, S, H]
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    mask_bias: jnp.ndarray,    # [B, 1, 1, S] additive f32 (0 / -1e9)
-    *,
-    num_heads: int,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Fused multi-head self-attention. Returns [B, S, H] in q.dtype."""
-    if interpret is None:
-        interpret = default_interpret()
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, num_heads: int, head_dim: int):
+    """Backward for one batch element, all heads. Recomputes the softmax
+    probabilities from VMEM-resident q/k/v (cheaper than round-tripping the
+    [S, S] matrix through HBM at these lengths) and applies the standard
+    attention gradient:
+        dV = Pᵀ dO,  dP = dO Vᵀ,  dS = P ∘ (dP − rowsum(dP ∘ P)),
+        dQ = dS K · scale,  dK = dSᵀ Q · scale.
+    """
+    scale = 1.0 / (head_dim ** 0.5)
+    bias = bias_ref[0, 0, :]
+    qf, kf, vf, dof = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+
+    for g in range(num_heads):
+        lo = g * head_dim
+        q = qf[:, lo: lo + head_dim]
+        k = kf[:, lo: lo + head_dim]
+        v = vf[:, lo: lo + head_dim]
+        do = dof[:, lo: lo + head_dim]
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        scores = scores + bias[None, :]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)               # f32 [S, S]
+
+        dv = jnp.dot(p.T.astype(dof.dtype), do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [S, S]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds.astype(kf.dtype), k, preferred_element_type=jnp.float32) * scale
+        dk = jnp.dot(ds.T.astype(qf.dtype), q, preferred_element_type=jnp.float32) * scale
+
+        dq_ref[0, :, lo: lo + head_dim] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lo: lo + head_dim] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lo: lo + head_dim] = dv.astype(dv_ref.dtype)
+
+
+def _fwd_call(q, k, v, bias, num_heads: int, interpret: bool):
     b, s, h = q.shape
     head_dim = h // num_heads
-    # bias as [B, 1, S]: the (1, S) trailing block dims equal the array's,
-    # satisfying Mosaic's tile-alignment rule for non-(8,128) blocks
-    bias = mask_bias.reshape(b, 1, s).astype(jnp.float32)
-
     return pl.pallas_call(
         partial(_attn_kernel, num_heads=num_heads, head_dim=head_dim),
         grid=(b,),
@@ -83,3 +104,62 @@ def flash_attention(
         out_shape=jax.ShapeDtypeStruct((b, s, h), q.dtype),
         interpret=interpret,
     )(q, k, v, bias)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention(q, k, v, bias, num_heads: int, interpret: bool):
+    return _fwd_call(q, k, v, bias, num_heads, interpret)
+
+
+def _flash_fwd(q, k, v, bias, num_heads: int, interpret: bool):
+    out = _fwd_call(q, k, v, bias, num_heads, interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(num_heads: int, interpret: bool, res, dout):
+    q, k, v, bias = res
+    b, s, h = q.shape
+    head_dim = h // num_heads
+    spec = pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel, num_heads=num_heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                  spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, s, h), q.dtype),
+                   jax.ShapeDtypeStruct((b, s, h), k.dtype),
+                   jax.ShapeDtypeStruct((b, s, h), v.dtype)],
+        interpret=interpret,
+    )(q, k, v, bias, dout.astype(q.dtype))
+    # bias is the (0 / -1e9) padding mask derived from integer input ids —
+    # never a training target; a zero cotangent keeps the VJP total.
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,            # [B, S, H]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_bias: jnp.ndarray,    # [B, 1, 1, S] additive f32 (0 / -1e9)
+    *,
+    num_heads: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused multi-head self-attention. Returns [B, S, H] in q.dtype.
+
+    Differentiable: a custom VJP recomputes probabilities in a second
+    Pallas kernel, so training (training/contrastive.py) runs the fused
+    path end-to-end instead of falling back to XLA attention.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, s, h = q.shape
+    # bias as [B, 1, S]: the (1, S) trailing block dims equal the array's,
+    # satisfying Mosaic's tile-alignment rule for non-(8,128) blocks
+    bias = mask_bias.reshape(b, 1, s).astype(jnp.float32)
+    return _flash_attention(q, k, v, bias, num_heads, interpret)

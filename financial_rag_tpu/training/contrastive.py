@@ -94,17 +94,22 @@ def make_train_step(
     compute_dtype=jnp.float32,
     data_axis: str = "data",
     model_axis: str = "model",
+    attention_impl: str = "xla",
 ):
     """Returns (train_step, init_state). Batch dict keys:
     q_ids, q_mask, d_ids, d_mask (all [B, S] int32, B divisible by the
-    data-axis size)."""
+    data-axis size). attention_impl="pallas" trains through the fused
+    flash-attention kernel (its custom VJP runs a second Pallas kernel for
+    the backward pass)."""
     optimizer = optimizer or optax.adamw(1e-5)
 
     def loss_fn(params, batch):
         q_emb = bert_encode(params, batch["q_ids"], batch["q_mask"], config=config,
-                            pooling=pooling, compute_dtype=compute_dtype)
+                            pooling=pooling, compute_dtype=compute_dtype,
+                            attention_impl=attention_impl)
         d_emb = bert_encode(params, batch["d_ids"], batch["d_mask"], config=config,
-                            pooling=pooling, compute_dtype=compute_dtype)
+                            pooling=pooling, compute_dtype=compute_dtype,
+                            attention_impl=attention_impl)
         return contrastive_loss(q_emb, d_emb, temperature)
 
     batch_sharding = NamedSharding(mesh, P(data_axis, None))

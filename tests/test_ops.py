@@ -310,3 +310,63 @@ class TestFlashAttention:
         b = np.asarray(bert_forward(params, jnp.asarray(ids), jnp.asarray(mask), config=cfg, attention_impl="pallas"))
         m = mask.astype(bool)
         np.testing.assert_allclose(a[m], b[m], atol=3e-5)
+
+    def test_gradients_match_xla_attention(self, rng):
+        """Custom VJP: grads of the fused kernel wrt q/k/v must equal the
+        XLA attention gradients (VERDICT r1 #9 — training runs the fused
+        path end-to-end)."""
+        from financial_rag_tpu.models.bert import _attention_xla
+
+        b, s, h, nh = 2, 32, 128, 4
+        q = jnp.asarray(rng.standard_normal((b, s, h)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, s, h)).astype(np.float32))
+        mask = np.ones((b, s), np.int32)
+        mask[1, 20:] = 0
+        bias = jnp.asarray(np.where(mask[:, None, None, :] > 0, 0.0, -1e9)
+                           .astype(np.float32))
+        # weighted sum -> non-trivial cotangents on every output element
+        w = jnp.asarray(rng.standard_normal((b, s, h)).astype(np.float32))
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(w * flash_attention(q, k, v, bias, num_heads=nh))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(w * _attention_xla(q, k, v, bias, num_heads=nh))
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=3e-4, rtol=1e-3)
+
+    def test_train_step_through_pallas_attention(self, rng):
+        """Contrastive train step compiled with attention_impl='pallas'
+        takes a finite-loss step (custom VJP exercised inside value_and_grad
+        under jit)."""
+        import jax as _jax
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import random_params
+        from financial_rag_tpu.parallel.mesh import train_mesh
+        from financial_rag_tpu.training import make_train_step
+
+        cfg = ModelConfig(name="tiny", hidden_size=128, num_layers=2, num_heads=4,
+                          intermediate_size=256, vocab_size=200, max_position=64)
+        params = random_params(cfg, seed=0)
+        mesh = train_mesh(tp=1, devices=_jax.devices()[:2])
+        step, init_state = make_train_step(cfg, mesh, attention_impl="pallas")
+        params, opt_state = init_state(params)
+        batch = {
+            "q_ids": jnp.asarray(rng.integers(1, 200, size=(4, 32)).astype(np.int32)),
+            "q_mask": jnp.asarray(np.ones((4, 32), np.int32)),
+            "d_ids": jnp.asarray(rng.integers(1, 200, size=(4, 32)).astype(np.int32)),
+            "d_mask": jnp.asarray(np.ones((4, 32), np.int32)),
+        }
+        with mesh:
+            params2, opt_state, loss = step(params, opt_state, batch)
+        assert np.isfinite(float(loss))
+        # params actually moved
+        moved = np.abs(np.asarray(params2["embeddings"]["word"])
+                       - np.asarray(params["embeddings"]["word"])).max()
+        assert moved > 0
