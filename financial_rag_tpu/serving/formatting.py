@@ -121,7 +121,12 @@ def format_ai_response(raw: str) -> dict:
     summary = lines[0] if lines else cleaned[:100]
     if len(summary) > 150:
         summary = summary[:147] + "..."
+    # [N]-style citation markers in the answer become 1-based references
+    # into the documents list (the wire shape the reference UI's
+    # click-to-scroll consumes, amber-ai-search App.tsx:154-166 / types.ts)
+    refs = sorted({int(m) for m in re.findall(r"\[(\d{1,2})\]", cleaned)
+                   if 1 <= int(m) <= 50})
     return {
         "summary": summary,
-        "items": [{"title": "Analysis Results", "text": cleaned, "references": []}],
+        "items": [{"title": "Analysis Results", "text": cleaned, "references": refs}],
     }

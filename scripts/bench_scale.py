@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Scale benchmark: the REAL index classes at 1M+ chunks on the real chip
+(BASELINE configs[3-4] evidence; VERDICT r1 items 3 and weak-6).
+
+Measures, over the same host-generated corpus:
+  - FlatIndex (bf16, fused bucketed sweep) QPS at each scale,
+  - FlatIndex (int8) QPS (half the HBM stream),
+  - IVFIndex QPS at nprobe in {32, 64} + recall@10 vs the flat result,
+validating the flat-vs-IVF crossover claim (index/ivf.py module docstring)
+with numbers instead of prose.
+
+Tunnel discipline (memory: axon quirks): the corpus uploads in 16k-row
+pieces (~25MB each) — single >700MB transfers wedge the tunnel for ~30min.
+Kernel timings are scan-chained slopes (fixed dispatch overhead cancels).
+
+Usage: python scripts/bench_scale.py [--scales 262144 1048576] [--out BENCH_SCALE.json]
+Writes one BENCH-style JSON line per config to --out and stdout.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+UPLOAD_ROWS = 16_384  # ~25MB f32 per piece
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def slope_time(jax, make_loop, iters_a, iters_b):
+    t = {}
+    for length in (iters_a, iters_b):
+        loop = make_loop(length)
+        _ = float(loop())
+        t0 = time.time()
+        _ = float(loop())
+        t[length] = time.time() - t0
+    return max((t[iters_b] - t[iters_a]) / (iters_b - iters_a), 1e-9)
+
+
+def time_flat(jax, jnp, idx, q, iters=(20, 100)):
+    """Scan-chained slope over the index's own compiled search fn."""
+    idx.search(q[:1], 10)  # prime compile
+    from financial_rag_tpu.ops.topk import bucketed_topk_fused, topk_matmul_reference
+
+    xd, vd = idx._vectors, idx._valid
+    qd = jnp.asarray(q)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def raw(qq):
+        if on_tpu:
+            return bucketed_topk_fused(qq, xd, vd, 24, nbuckets=idx.nbuckets,
+                                       interpret=False)
+        return topk_matmul_reference(qq, xd, vd, 24)
+
+    def chained(q_carry, _):
+        s_, i_ = raw(q_carry)
+        return q_carry + 0.0 * s_[0, 0], None
+
+    def make_loop(length):
+        loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
+        return lambda: jnp.sum(loop(qd))
+
+    return slope_time(jax, make_loop, *iters)
+
+
+def time_ivf(jax, jnp, idx, q, nprobe, iters=(20, 100)):
+    """Scan-chained slope over IVFIndex's compiled probe-search (16-query
+    chunks, its serving shape)."""
+    idx.search(q[:16], 10, nprobe=nprobe)  # prime + build fn
+    run = idx._search_fn[1]
+    qd = jnp.asarray(q[:16])
+    storage, valid, cents = idx._storage, idx._valid, idx.centroids
+
+    def chained(q_carry, _):
+        s_, li, sl = run(q_carry, storage, valid, cents)
+        return q_carry + 0.0 * s_[0, 0], None
+
+    def make_loop(length):
+        loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
+        return lambda: jnp.sum(loop(qd))
+
+    return slope_time(jax, make_loop, *iters)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", nargs="*", type=int, default=[262_144, 1_048_576])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--out", default="BENCH_SCALE.json")
+    ap.add_argument("--skip-ivf", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_tpu.index.flat import FlatIndex
+    from financial_rag_tpu.index.ivf import IVFIndex
+    from financial_rag_tpu.models.encoder import setup_compilation_cache
+
+    setup_compilation_cache()
+    backend = jax.default_backend()
+    log(f"backend={backend}")
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((args.batch, 384)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    results = []
+    for n in args.scales:
+        log(f"=== scale {n} ===")
+        x = rng.standard_normal((n, 384)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(1, n + 1, dtype=np.int64)
+
+        configs = [("flat_bf16", dict(dtype=jnp.bfloat16)),
+                   ("flat_int8", dict(dtype=jnp.int8))]
+        flat_ids = None
+        for name, kw in configs:
+            idx = FlatIndex(dim=384, capacity=n, name=name, **kw)
+            t0 = time.time()
+            for lo in range(0, n, UPLOAD_ROWS):
+                idx.upsert(ids[lo: lo + UPLOAD_ROWS], x[lo: lo + UPLOAD_ROWS])
+            log(f"{name}: ingested {n} rows in {time.time()-t0:.1f}s (chunked)")
+            dt = time_flat(jax, jnp, idx, q)
+            qps = args.batch / dt
+            got_ids, _ = idx.search(q, args.k)
+            if name == "flat_bf16":
+                flat_ids = got_ids
+                rec = 1.0
+            else:
+                rec = float(np.mean([len(set(a) & set(b)) / args.k
+                                     for a, b in zip(got_ids, flat_ids)]))
+            row = {"metric": f"{name} search QPS @ {n//1000}k chunks (k=24, batch={args.batch})",
+                   "value": round(qps, 1), "unit": "qps",
+                   "vs_baseline": round(qps / 50_000.0, 3),
+                   "latency_ms_per_batch": round(dt * 1e3, 3),
+                   f"recall@{args.k}_vs_flat_bf16": round(rec, 4),
+                   "n_chunks": n, "backend": backend}
+            log(json.dumps(row))
+            results.append(row)
+            del idx
+
+        if not args.skip_ivf:
+            ls = max((n // args.nlist) * 2, 256)
+            idx = IVFIndex(dim=384, nlist=args.nlist, list_size=ls, nprobe=64,
+                           name="ivf_scale")
+            sample = x[rng.choice(n, size=min(n, 65_536), replace=False)]
+            t0 = time.time()
+            idx.train(sample, iters=8, seed=0)
+            log(f"ivf: trained {args.nlist} centroids on 65k sample in {time.time()-t0:.1f}s")
+            t0 = time.time()
+            for lo in range(0, n, UPLOAD_ROWS):
+                idx.upsert(ids[lo: lo + UPLOAD_ROWS], x[lo: lo + UPLOAD_ROWS])
+            log(f"ivf: ingested {n} rows in {time.time()-t0:.1f}s")
+            for nprobe in (32, 64):
+                dt = time_ivf(jax, jnp, idx, q, nprobe)
+                qps = 16 / dt  # compiled fn serves 16-query chunks
+                got_ids, _ = idx.search(q, args.k, nprobe=nprobe)
+                rec = float(np.mean([len(set(a) & set(b)) / args.k
+                                     for a, b in zip(got_ids, flat_ids)]))
+                row = {"metric": f"ivf search QPS @ {n//1000}k chunks (nprobe={nprobe}, nlist={args.nlist})",
+                       "value": round(qps, 1), "unit": "qps",
+                       "vs_baseline": round(qps / 50_000.0, 3),
+                       "latency_ms_per_16q": round(dt * 1e3, 3),
+                       f"recall@{args.k}_vs_flat_bf16": round(rec, 4),
+                       "n_chunks": n, "backend": backend}
+                log(json.dumps(row))
+                results.append(row)
+            del idx
+
+    Path(args.out).write_text("\n".join(json.dumps(r) for r in results) + "\n")
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

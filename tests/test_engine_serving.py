@@ -262,6 +262,15 @@ class TestFormatting:
     def test_ai_response_empty(self):
         assert format_ai_response("") == {"summary": "No response generated", "items": []}
 
+    def test_ai_response_extracts_citation_references(self):
+        """[N] markers become 1-based references for the UI's
+        click-to-scroll (reference App.tsx:154-166 / types.ts)."""
+        out = format_ai_response(
+            "The rent is Rs 42,800 [1]. The lock-in period is 36 months [3]. "
+            "See also [1] and the year [2024] which is not a citation.")
+        assert out["items"][0]["references"] == [1, 3]
+        assert format_ai_response("plain answer")["items"][0]["references"] == []
+
     def test_chunks_formatting_types(self):
         docs = format_chunks_for_ui([
             {"child_id": 5, "document_id": "lease", "source_path": "/x/lease.pdf",
