@@ -54,19 +54,23 @@ def time_flat(jax, jnp, idx, q, iters=(20, 100)):
     qd = jnp.asarray(q)
     on_tpu = jax.default_backend() == "tpu"
 
-    def raw(qq):
+    def raw(qq, x, v):
         if on_tpu:
-            return bucketed_topk_fused(qq, xd, vd, 24, nbuckets=idx.nbuckets,
+            return bucketed_topk_fused(qq, x, v, 24, nbuckets=idx.nbuckets,
                                        interpret=False)
-        return topk_matmul_reference(qq, xd, vd, 24)
+        return topk_matmul_reference(qq, x, v, 24)
 
-    def chained(q_carry, _):
-        s_, i_ = raw(q_carry)
-        return q_carry + 0.0 * s_[0, 0], None
-
+    # corpus arrays ride as jit ARGUMENTS: closure capture would embed them
+    # as HLO constants and blow the tunnel's compile-request size limit
+    # (HTTP 413 at >=400MB)
     def make_loop(length):
-        loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
-        return lambda: jnp.sum(loop(qd))
+        def body(q0, x, v):
+            def chained(q_carry, _):
+                s_, i_ = raw(q_carry, x, v)
+                return q_carry + 0.0 * s_[0, 0], None
+            return jax.lax.scan(chained, q0, None, length=length)[0]
+        loop = jax.jit(body)
+        return lambda: jnp.sum(loop(qd, xd, vd))
 
     return slope_time(jax, make_loop, *iters)
 
@@ -79,13 +83,14 @@ def time_ivf(jax, jnp, idx, q, nprobe, iters=(20, 100)):
     qd = jnp.asarray(q[:16])
     storage, valid, cents = idx._storage, idx._valid, idx.centroids
 
-    def chained(q_carry, _):
-        s_, li, sl = run(q_carry, storage, valid, cents)
-        return q_carry + 0.0 * s_[0, 0], None
-
     def make_loop(length):
-        loop = jax.jit(lambda q0: jax.lax.scan(chained, q0, None, length=length)[0])
-        return lambda: jnp.sum(loop(qd))
+        def body(q0, st, va, ce):
+            def chained(q_carry, _):
+                s_, li, sl = run(q_carry, st, va, ce)
+                return q_carry + 0.0 * s_[0, 0], None
+            return jax.lax.scan(chained, q0, None, length=length)[0]
+        loop = jax.jit(body)
+        return lambda: jnp.sum(loop(qd, storage, valid, cents))
 
     return slope_time(jax, make_loop, *iters)
 
@@ -112,15 +117,26 @@ def main():
     log(f"backend={backend}")
 
     rng = np.random.default_rng(0)
-    q = rng.standard_normal((args.batch, 384)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     results = []
     for n in args.scales:
         log(f"=== scale {n} ===")
-        x = rng.standard_normal((n, 384)).astype(np.float32)
+        # clustered corpus (mixture of Gaussians on the sphere): uniform
+        # random vectors have NO cluster structure, which makes IVF recall
+        # degenerate to ~nprobe/nlist (measured 0.12 at 32/1024) — text
+        # embeddings cluster, so a representative ANN benchmark must too.
+        c = max(n // 256, 64)
+        centers = rng.standard_normal((c, 384)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = rng.integers(c, size=n)
+        x = centers[assign] + 0.35 * rng.standard_normal((n, 384)).astype(np.float32)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         ids = np.arange(1, n + 1, dtype=np.int64)
+        # queries: perturbations of corpus points (how real queries relate
+        # to their relevant documents)
+        qsrc = x[rng.choice(n, size=args.batch, replace=False)]
+        q = qsrc + 0.3 * rng.standard_normal((args.batch, 384)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
 
         configs = [("flat_bf16", dict(dtype=jnp.bfloat16)),
                    ("flat_int8", dict(dtype=jnp.int8))]
