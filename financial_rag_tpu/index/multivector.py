@@ -90,7 +90,6 @@ class MultiVectorIndex:
             self._tokens = self._tokens.at[slots_d].set(jnp.asarray(toks, self.dtype))
             self._tok_mask = self._tok_mask.at[slots_d].set(jnp.asarray(masks))
             self._valid = self._valid.at[slots_d].set(1.0)
-            self._search_fn = None
 
     def delete(self, child_ids: Sequence[int]) -> int:
         with self._lock:
@@ -103,7 +102,6 @@ class MultiVectorIndex:
             if slots:
                 self._valid = self._valid.at[
                     jnp.asarray(np.asarray(slots, np.int32))].set(0.0)
-                self._search_fn = None
             return len(slots)
 
     def _grow(self) -> None:
@@ -118,14 +116,18 @@ class MultiVectorIndex:
         self._search_fn = None
 
     def _build_search(self, k: int, tq: int):
+        # token storage rides as jit ARGUMENTS (not closure constants): no
+        # recompile per upsert, mutations immediately visible, and no
+        # giant-constant compile payloads (tests/test_index_mutation.py)
         chunk = self.chunk
         n_chunks = self.capacity // chunk
-        tokens = self._tokens.reshape(n_chunks, chunk, self.max_child_tokens, self.dim)
-        tok_mask = self._tok_mask.reshape(n_chunks, chunk, self.max_child_tokens)
-        valid = self._valid.reshape(n_chunks, chunk)
+        mct, dim = self.max_child_tokens, self.dim
 
         @jax.jit
-        def run(qv):  # [Tq, D] f32
+        def run(qv, tokens_flat, tok_mask_flat, valid_flat):  # qv: [Tq, D] f32
+            tokens = tokens_flat.reshape(n_chunks, chunk, mct, dim)
+            tok_mask = tok_mask_flat.reshape(n_chunks, chunk, mct)
+            valid = valid_flat.reshape(n_chunks, chunk)
             q = qv.astype(tokens.dtype)
 
             def step(carry, inp):
@@ -161,7 +163,8 @@ class MultiVectorIndex:
         key = (top_k, qv.shape[0], self.capacity)
         if self._search_fn is None or self._search_fn[0] != key:
             self._search_fn = (key, self._build_search(top_k, qv.shape[0]))
-        s, i = self._search_fn[1](jnp.asarray(qv))
+        s, i = self._search_fn[1](jnp.asarray(qv), self._tokens,
+                                  self._tok_mask, self._valid)
         s, i = np.array(s), np.array(i)
         out = []
         for score, slot in zip(s, i):
