@@ -66,6 +66,57 @@ class TestConcurrency:
         assert not errors, errors
         assert idx.count() == 4 * 10 * 8
 
+    def test_concurrent_mutation_ivf_and_sharded(self, rng):
+        """Writers + readers racing on IVF and sharded-IVF: no exceptions,
+        final count exact, post-race search sees every survivor (guards the
+        round-1 stale-compiled-search class of bug under concurrency)."""
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.index import IVFIndex
+        from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        for idx in (IVFIndex(dim=64, nlist=4, list_size=128, nprobe=4,
+                             dtype=jnp.float32),
+                    ShardedIVFIndex(dim=64, n_shards=2, nlist=4, list_size=128,
+                                    nprobe=4, dtype=jnp.float32)):
+            idx.upsert(np.arange(1, 33, dtype=np.int64),
+                       rng.standard_normal((32, 64)).astype(np.float32))
+            errors = []
+
+            def writer(base, index=idx):
+                try:
+                    for i in range(5):
+                        v = rng.standard_normal((4, 64)).astype(np.float32)
+                        ids = np.arange(base + i * 4, base + i * 4 + 4,
+                                        dtype=np.int64) + 100
+                        index.upsert(ids, v)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+            def reader(index=idx):
+                try:
+                    for _ in range(10):
+                        q = rng.standard_normal((2, 64)).astype(np.float32)
+                        index.search(q, 5)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+            threads = [threading.Thread(target=writer, args=(w * 100,))
+                       for w in range(3)]
+            threads += [threading.Thread(target=reader) for _ in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+            assert idx.count() == 32 + 3 * 5 * 4
+            # a fresh upsert after the storm is immediately searchable
+            probe = rng.standard_normal((1, 64)).astype(np.float32)
+            probe /= np.linalg.norm(probe)
+            idx.upsert([99999], probe)
+            got, _ = idx.search(probe, 1)
+            assert got[0, 0] == 99999
+
     def test_concurrent_feedback_db(self, tmp_path):
         db = FeedbackDatabase(tmp_path / "f.db")
         errors = []
