@@ -110,6 +110,10 @@ class IndexConfig:
     ivf_nlist: int = field(default_factory=lambda: _env("IVF_NLIST", 1024))
     ivf_nprobe: int = field(default_factory=lambda: _env("IVF_NPROBE", 64))
     ivf_kmeans_iters: int = field(default_factory=lambda: _env("IVF_KMEANS_ITERS", 12))
+    # after each ingest sweep, auto-tune nprobe to the smallest value whose
+    # recall@10 vs an exhaustive sweep meets this target (0 = disabled)
+    ivf_autotune_recall: float = field(default_factory=lambda: _env("IVF_AUTOTUNE_RECALL", 0.0))
+    ivf_autotune_sample: int = field(default_factory=lambda: _env("IVF_AUTOTUNE_SAMPLE", 256))
     persist_dir: str = field(default_factory=lambda: _env("INDEX_PERSIST_DIR", ".tpu_index"))
     collection_prefix: str = field(default_factory=lambda: _env("CHILD_VECTOR_COLLECTION", "children"))
 
@@ -194,6 +198,12 @@ class ServingConfig:
     # cadence of the system-performance recorder (cpu/mem/qpm/error-rate ->
     # feedback db, reference feedback_database.py:673-694); 0 disables
     sysperf_interval_s: float = field(default_factory=lambda: _env("SYSPERF_INTERVAL_S", 60.0))
+    # cross-request micro-batching of encode + index sweeps (serving/batcher.py):
+    # concurrent requests coalesce into single device calls. A lone request
+    # pays at most microbatch_wait_ms extra latency.
+    microbatch: bool = field(default_factory=lambda: _env("SERVE_MICROBATCH", False))
+    microbatch_wait_ms: float = field(default_factory=lambda: _env("MICROBATCH_WAIT_MS", 2.0))
+    microbatch_max: int = field(default_factory=lambda: _env("MICROBATCH_MAX", 64))
 
 
 @dataclass

@@ -92,8 +92,13 @@ def kmeans(
             c, counts, fit = step(c)
             empty = np.nonzero(np.asarray(counts) == 0)[0]
             if len(empty):
-                # reseed each empty cluster at the point fitting worst
+                # reseed each empty cluster at the point fitting worst; with
+                # fewer points than empty clusters (tiny first streaming
+                # batch, k > n) cycle the points — duplicate centroids are
+                # harmless and get separated as the corpus grows
                 worst = np.argsort(np.asarray(fit))[: len(empty)]
+                if len(worst) < len(empty):
+                    worst = np.resize(worst, len(empty))
                 c = c.at[jnp.asarray(empty)].set(xd[jnp.asarray(worst)])
         score = float(np.asarray(fit).mean())
         if score > best_score:
@@ -309,6 +314,29 @@ class IVFIndex:
             out_ids[lo: lo + len(ids)] = ids
             out_scores[lo: lo + len(s)] = s
         return out_ids, out_scores
+
+    # ------------------------------------------------------------- tuning
+
+    def sample_vectors(self, n: int, seed: int = 0) -> np.ndarray:
+        """Up to `n` live stored vectors (host f32), uniformly sampled.
+        Fetches only the sampled rows (device gather), so it stays cheap at
+        10M scale."""
+        with self._lock:
+            locs = list(self._loc_of.values())
+        rng = np.random.default_rng(seed)
+        if len(locs) > n:
+            sel = rng.choice(len(locs), size=n, replace=False)
+            locs = [locs[i] for i in sel]
+        la = jnp.asarray(np.asarray([l for l, _ in locs], np.int32))
+        sa = jnp.asarray(np.asarray([s for _, s in locs], np.int32))
+        return np.asarray(self._storage[la, sa], np.float32)
+
+    def tune_nprobe(self, **kwargs) -> dict:
+        """Pick the smallest nprobe meeting a recall target; see
+        financial_rag_tpu.index.tuning.tune_nprobe."""
+        from financial_rag_tpu.index.tuning import tune_nprobe
+
+        return tune_nprobe(self, **kwargs)
 
     # ---------------------------------------------------------- persistence
 

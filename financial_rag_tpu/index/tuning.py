@@ -1,0 +1,119 @@
+"""nprobe auto-tuning for IVF indexes.
+
+IVF trades recall for probe traffic: small ``nprobe`` reads few posting
+lists (low HBM traffic, low latency) but can miss true neighbors whose
+lists were not probed. The right value depends on the corpus geometry —
+how well k-means separated it — so a fixed default (IVF_NPROBE=64) is
+either wasteful or lossy. This module measures recall@k directly on the
+index's own contents and picks the smallest power-of-two ``nprobe`` that
+meets a target.
+
+Ground truth is the index's OWN search with ``nprobe = nlist`` — probing
+every list is an exhaustive sweep over the stored vectors, so the measured
+recall isolates exactly the quantization loss that tuning controls (encoder
+quality, chunking etc. are out of the loop). Queries default to perturbed
+samples of stored vectors: pure stored vectors always land in their own
+list (recall@1 = 1 at nprobe=1, far too optimistic), while isotropic noise
+of relative scale ``noise`` pushes queries off-centroid the way real
+paraphrased queries sit between exemplars.
+
+The reference has no counterpart — its IVF path (pgvector IVFFlat,
+reference pgvector_child_store.py:92-98) ships with the pgvector default
+``lists/probes`` and no measurement. This is new TPU-framework surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("index.tuning")
+
+
+def _recall_at_k(ids: np.ndarray, scores: np.ndarray,
+                 exact_ids: np.ndarray, exact_scores: np.ndarray) -> float:
+    """Mean per-query |approx ∩ exact| / |exact|, ignoring padded slots
+    (search pads short results with id 0 / score -inf)."""
+    total, denom = 0.0, 0
+    for row_ids, row_s, ex_ids, ex_s in zip(ids, scores, exact_ids, exact_scores):
+        truth = set(int(c) for c, s in zip(ex_ids, ex_s) if np.isfinite(s))
+        if not truth:
+            continue
+        got = set(int(c) for c, s in zip(row_ids, row_s) if np.isfinite(s))
+        total += len(got & truth) / len(truth)
+        denom += 1
+    return total / denom if denom else 1.0
+
+
+def tune_nprobe(
+    index,
+    *,
+    k: int = 10,
+    target_recall: float = 0.95,
+    sample: int = 256,
+    queries: Optional[np.ndarray] = None,
+    noise: float = 0.25,
+    seed: int = 0,
+    apply: bool = True,
+) -> dict:
+    """Sweep nprobe in doubling steps and pick the smallest value whose
+    recall@k against the exhaustive (nprobe=nlist) sweep meets
+    ``target_recall``. Works on any index exposing ``search(q, k, nprobe=)``,
+    ``nlist``, ``sample_vectors(n, seed)`` and ``count()`` — i.e. both
+    :class:`IVFIndex` and :class:`ShardedIVFIndex`.
+
+    Pass ``queries`` (e.g. encoded production queries from the trace log)
+    for in-distribution tuning; otherwise perturbed stored vectors are used.
+    With ``apply=True`` (default) the chosen value is written back to the
+    index so subsequent searches — and the persisted manifest — use it.
+    """
+    n_live = index.count()
+    if n_live == 0:
+        return {"nprobe": getattr(index, "nprobe", 1), "sweep": [], "queries": 0,
+                "k": k, "target_recall": target_recall, "applied": False}
+    nlist = index.nlist
+    k = min(k, n_live)
+
+    if queries is None:
+        base = index.sample_vectors(min(sample, n_live), seed=seed)
+        rng = np.random.default_rng(seed)
+        q = base + noise * rng.standard_normal(base.shape).astype(np.float32)
+    else:
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+    exact_ids, exact_scores = index.search(q, k, nprobe=nlist)
+
+    sweep = []
+    chosen = nlist
+    cand = 1
+    while cand < nlist:
+        ids, scores = index.search(q, k, nprobe=cand)
+        r = _recall_at_k(ids, scores, exact_ids, exact_scores)
+        sweep.append({"nprobe": cand, "recall": round(r, 4)})
+        if r >= target_recall:
+            chosen = cand
+            break
+        cand *= 2
+    else:
+        sweep.append({"nprobe": nlist, "recall": 1.0})
+
+    report = {
+        "nprobe": chosen,
+        "k": k,
+        "target_recall": target_recall,
+        "queries": int(q.shape[0]),
+        "sweep": sweep,
+        "applied": bool(apply),
+    }
+    if apply:
+        index.nprobe = chosen
+    log.info("tuned nprobe=%d (target recall@%d >= %.2f over %d queries; sweep=%s)",
+             chosen, k, target_recall, q.shape[0],
+             [(s["nprobe"], s["recall"]) for s in sweep])
+    return report

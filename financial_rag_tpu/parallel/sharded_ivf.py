@@ -69,6 +69,19 @@ class ShardedIVFIndex:
     def is_trained(self) -> bool:
         return all(s.is_trained for s in self.shards)
 
+    @property
+    def nlist(self) -> int:
+        return self.shards[0].nlist
+
+    @property
+    def nprobe(self) -> int:
+        return self.shards[0].nprobe
+
+    @nprobe.setter
+    def nprobe(self, value: int) -> None:
+        for s in self.shards:
+            s.nprobe = min(int(value), s.nlist)
+
     def train(self, vectors: np.ndarray, iters: int = 12, seed: int = 0) -> None:
         """All shards learn centroids from the same sample (routing is
         round-robin, so every shard sees the same distribution)."""
@@ -131,6 +144,32 @@ class ShardedIVFIndex:
         order = np.argsort(-cat_s, axis=1, kind="stable")[:, :top_k]
         return (np.take_along_axis(cat_ids, order, axis=1),
                 np.take_along_axis(cat_s, order, axis=1))
+
+    # ------------------------------------------------------------- tuning
+
+    def sample_vectors(self, n: int, seed: int = 0) -> np.ndarray:
+        """Up to `n` live vectors sampled across shards (proportional to
+        shard fill, so the sample matches the global distribution)."""
+        total = self.count()
+        parts = []
+        for i, shard in enumerate(self.shards):
+            if not len(shard):
+                continue
+            want = max(1, round(n * len(shard) / total))
+            parts.append(shard.sample_vectors(want, seed=seed + i))
+        out = np.concatenate(parts, axis=0) if parts else np.zeros((0, self.dim), np.float32)
+        if out.shape[0] > n:
+            rng = np.random.default_rng(seed)
+            out = out[rng.choice(out.shape[0], size=n, replace=False)]
+        return out
+
+    def tune_nprobe(self, **kwargs) -> dict:
+        """Tune the shared nprobe over the merged multi-shard search; the
+        chosen value is applied to every shard (routing is round-robin, so
+        all shards see the same distribution and want the same nprobe)."""
+        from financial_rag_tpu.index.tuning import tune_nprobe
+
+        return tune_nprobe(self, **kwargs)
 
     # ---------------------------------------------------------- persistence
 

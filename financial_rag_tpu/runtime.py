@@ -86,6 +86,17 @@ class Runtime:
             "baai": _build_encoder("baai", cfg.encoders.baai_path, "cls", cfg),
             "gte": _build_encoder("gte", cfg.encoders.gte_path, "mean", cfg),
         }
+        if cfg.serving.microbatch:
+            from financial_rag_tpu.serving.batcher import BatchingEncoder
+
+            encoders = {
+                name: BatchingEncoder(enc, max_texts=cfg.serving.microbatch_max,
+                                      max_wait_ms=cfg.serving.microbatch_wait_ms,
+                                      name=f"encode-{name}")
+                for name, enc in encoders.items()
+            }
+            log.info("micro-batching enabled: wait=%.1fms max=%d",
+                     cfg.serving.microbatch_wait_ms, cfg.serving.microbatch_max)
         from financial_rag_tpu.utils.embed_cache import EmbeddingCache
 
         dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights,
@@ -159,6 +170,16 @@ class Runtime:
                 indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity,
                                           dtype=index_dtype, name=coll)
 
+        if cfg.serving.microbatch:
+            from financial_rag_tpu.serving.batcher import BatchingIndex
+
+            indexes = {
+                name: BatchingIndex(idx, max_queries=cfg.serving.microbatch_max,
+                                    max_wait_ms=cfg.serving.microbatch_wait_ms,
+                                    name=f"search-{name}")
+                for name, idx in indexes.items()
+            }
+
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")
         feedback_db = FeedbackDatabase(data_dir / cfg.store.feedback_db_path,
@@ -193,6 +214,22 @@ class Runtime:
                    feedback_db=feedback_db, pipeline=pipeline, hybrid=hybrid,
                    dense_retriever=dense, engine=engine, ledger=ledger)
 
+    def tune_indexes(self) -> Dict[str, dict]:
+        """Auto-tune IVF nprobe on every tunable index (no-op for flat
+        indexes and when IVF_AUTOTUNE_RECALL is unset). Returns per-index
+        tuning reports; the tuned nprobe persists via the index manifest."""
+        target = self.config.index.ivf_autotune_recall
+        if target <= 0:
+            return {}
+        reports: Dict[str, dict] = {}
+        for name, idx in self.indexes.items():
+            if hasattr(idx, "tune_nprobe") and idx.count() and idx.is_trained:
+                reports[name] = idx.tune_nprobe(
+                    target_recall=target,
+                    sample=self.config.index.ivf_autotune_sample)
+                log.info("index %s: tuned nprobe=%d", name, reports[name]["nprobe"])
+        return reports
+
     def save_indexes(self, data_dir: str | Path = ".") -> None:
         persist = Path(data_dir) / self.config.index.persist_dir
         saved = 0
@@ -209,7 +246,8 @@ class Runtime:
             self.pipeline, self.ledger,
             source_dir=data_dir / self.config.ingest.source_dir,
             extracted_dir=data_dir / self.config.ingest.extracted_dir,
-            on_sweep_complete=lambda: self.save_indexes(data_dir))
+            on_sweep_complete=lambda: (self.tune_indexes(),
+                                       self.save_indexes(data_dir)))
 
     def make_app(self, processor=None, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.app import create_app

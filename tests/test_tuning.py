@@ -1,0 +1,120 @@
+"""nprobe auto-tuning: pick the smallest nprobe that meets a recall
+target, measured against the index's own exhaustive (nprobe=nlist) sweep.
+New TPU-framework surface — the reference's IVF path (pgvector IVFFlat,
+reference pgvector_child_store.py:92-98) has no tuning at all."""
+
+import numpy as np
+import pytest
+
+from financial_rag_tpu.index.ivf import IVFIndex
+from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+
+def _clustered(rng, n, d, n_centers=16, spread=0.15):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, n_centers, n)] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def ivf():
+    rng = np.random.default_rng(123)  # own seed: recall is data-dependent
+    d, n = 64, 4000
+    x = _clustered(rng, n, d)
+    idx = IVFIndex(dim=d, nlist=32, list_size=256, nprobe=32)
+    idx.train(x[:2000], iters=8)
+    idx.upsert(np.arange(1, 1 + n, dtype=np.int64), x)
+    return idx
+
+
+class TestTuneNprobe:
+    def test_tunes_below_nlist_and_meets_target(self, ivf):
+        report = ivf.tune_nprobe(k=10, target_recall=0.9, sample=64, seed=0)
+        assert report["applied"]
+        assert ivf.nprobe == report["nprobe"]
+        # clustered data must not need an exhaustive probe
+        assert report["nprobe"] < ivf.nlist
+        assert report["sweep"][-1]["recall"] >= 0.9
+
+    def test_monotone_sweep_and_termination_at_target_1(self, ivf):
+        report = ivf.tune_nprobe(k=10, target_recall=1.0, sample=64, seed=1)
+        recalls = [s["recall"] for s in report["sweep"]]
+        # doubling nprobe can only add probed lists -> recall non-decreasing
+        assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+        assert report["nprobe"] <= ivf.nlist
+        # chosen nprobe really delivers: re-measure with explicit queries
+        q = ivf.sample_vectors(32, seed=7)
+        exact, _ = ivf.search(q, 10, nprobe=ivf.nlist)
+        got, _ = ivf.search(q, 10)
+        rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(got, exact)])
+        assert rec >= 0.99, rec
+
+    def test_explicit_queries_path(self, ivf):
+        rng = np.random.default_rng(5)
+        q = _clustered(rng, 16, ivf.dim)
+        report = ivf.tune_nprobe(k=5, queries=q, target_recall=0.8, apply=False)
+        assert report["queries"] == 16
+        assert not report["applied"]
+
+    def test_empty_index_noop(self):
+        idx = IVFIndex(dim=32, nlist=8, list_size=128, nprobe=4)
+        report = idx.tune_nprobe()
+        assert report["sweep"] == [] and report["queries"] == 0
+
+    def test_sharded_ivf_tuning_applies_to_all_shards(self):
+        rng = np.random.default_rng(123)
+        d, n = 64, 3000
+        x = _clustered(rng, n, d)
+        idx = ShardedIVFIndex(dim=d, n_shards=2, nlist=16, list_size=256, nprobe=16)
+        idx.train(x[:1500], iters=8)
+        idx.upsert(np.arange(1, 1 + n, dtype=np.int64), x)
+        report = idx.tune_nprobe(k=10, target_recall=0.9, sample=64)
+        assert report["nprobe"] < idx.nlist
+        assert all(s.nprobe == report["nprobe"] for s in idx.shards)
+        # tuned value persists through save/load via the shard manifests
+        assert idx.nprobe == report["nprobe"]
+
+
+class TestRuntimeAutotune:
+    def test_runtime_tunes_after_sweep(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("INDEX_KIND", "ivf")
+        monkeypatch.setenv("IVF_NLIST", "8")
+        monkeypatch.setenv("IVF_NPROBE", "8")
+        monkeypatch.setenv("IVF_AUTOTUNE_RECALL", "0.9")
+        monkeypatch.setenv("IVF_AUTOTUNE_SAMPLE", "32")
+        from financial_rag_tpu.config import FrameworkConfig
+        from financial_rag_tpu.runtime import Runtime
+
+        rt = Runtime.build(FrameworkConfig.from_env(), data_dir=tmp_path)
+        rng = np.random.default_rng(9)
+        x = _clustered(rng, 600, 384, n_centers=8)
+        for idx in rt.indexes.values():
+            idx.train(x, iters=4)
+            idx.upsert(np.arange(1, 601, dtype=np.int64), x)
+        reports = rt.tune_indexes()
+        assert set(reports) == set(rt.indexes)
+        for name, idx in rt.indexes.items():
+            assert idx.nprobe == reports[name]["nprobe"]
+
+    def test_runtime_autotune_disabled_by_default(self, tmp_path):
+        from financial_rag_tpu.config import FrameworkConfig
+        from financial_rag_tpu.runtime import Runtime
+
+        rt = Runtime.build(FrameworkConfig(), data_dir=tmp_path)
+        assert rt.tune_indexes() == {}
+
+
+class TestTinyCorpusIVF:
+    def test_auto_train_with_fewer_vectors_than_nlist(self):
+        # streaming regime: first upsert batch smaller than nlist must not
+        # crash the k-means empty-cluster reseed (k > n)
+        rng = np.random.default_rng(3)
+        x = _clustered(rng, 3, 384, n_centers=2)
+        idx = IVFIndex(dim=384, nlist=8, list_size=128, nprobe=8)
+        idx.upsert([11, 12, 13], x)  # auto-trains on 3 vectors
+        assert idx.count() == 3
+        ids, scores = idx.search(x[:1], 3)
+        assert 11 in ids[0] or 12 in ids[0] or 13 in ids[0]
+        assert np.isfinite(scores[0][0])
