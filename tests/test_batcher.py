@@ -1,0 +1,193 @@
+"""Cross-request micro-batching (serving/batcher.py): concurrent requests
+coalesce into single device calls with results identical to unbatched ones.
+The reference serves each request with its own batch-1 device calls
+(reference api_server.py:857-882, local_embedder.py:160-184) — this layer
+is the TPU-side replacement for that pattern."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from financial_rag_tpu.index.flat import FlatIndex
+from financial_rag_tpu.models.hashing import HashingEncoder
+from financial_rag_tpu.serving.batcher import BatchingEncoder, BatchingIndex, MicroBatcher
+
+
+def _run_threads(n, fn):
+    results = [None] * n
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = fn(i)
+        except Exception as e:  # noqa: BLE001 — surfaced via the errors list
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results, errors
+
+
+class TestMicroBatcher:
+    def test_coalesces_concurrent_submits(self):
+        mb = MicroBatcher(lambda xs: [x * 2 for x in xs],
+                          max_items=64, max_wait_ms=100.0)
+        barrier = threading.Barrier(16)
+
+        def submit(i):
+            barrier.wait()
+            return mb.submit(i)
+
+        results, errors = _run_threads(16, submit)
+        assert not errors
+        assert results == [i * 2 for i in range(16)]
+        assert mb.submitted == 16
+        assert mb.calls < 16, "no coalescing happened"
+        mb.close()
+
+    def test_max_items_bounds_fused_call(self):
+        seen = []
+        mb = MicroBatcher(lambda xs: (seen.append(len(xs)), xs)[1],
+                          max_items=4, max_wait_ms=200.0)
+        barrier = threading.Barrier(12)
+        _, errors = _run_threads(12, lambda i: (barrier.wait(), mb.submit(i))[1])
+        assert not errors
+        assert max(seen) <= 4
+        mb.close()
+
+    def test_exception_propagates_to_all_waiters(self):
+        def boom(xs):
+            raise ValueError("kernel exploded")
+
+        mb = MicroBatcher(boom, max_wait_ms=50.0)
+        barrier = threading.Barrier(4)
+        _, errors = _run_threads(4, lambda i: (barrier.wait(), mb.submit(i))[1])
+        assert len(errors) == 4
+        assert all("kernel exploded" in str(e) for e in errors)
+        # batcher survives a failed batch
+        mb2_result = mb.submit  # still callable
+        assert mb2_result is not None
+        mb.close()
+
+    def test_closed_batcher_rejects(self):
+        mb = MicroBatcher(lambda xs: xs)
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit(1)
+
+
+class _CountingEncoder(HashingEncoder):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.n_calls = 0
+
+    def encode(self, texts):
+        self.n_calls += 1
+        return super().encode(texts)
+
+
+class TestBatchingEncoder:
+    def test_results_match_unbatched(self):
+        inner = _CountingEncoder(dim=64)
+        batched = BatchingEncoder(inner, max_wait_ms=100.0)
+        texts = [[f"query {i} about rent", f"variant {i}"] for i in range(8)]
+        expected = [HashingEncoder(dim=64).encode(t) for t in texts]
+
+        barrier = threading.Barrier(8)
+        results, errors = _run_threads(
+            8, lambda i: (barrier.wait(), batched.encode(texts[i]))[1])
+        assert not errors
+        for got, want in zip(results, expected):
+            np.testing.assert_allclose(got, want, atol=1e-6)
+        assert inner.n_calls < 8, "encode calls were not coalesced"
+
+    def test_delegation_and_empty(self):
+        inner = _CountingEncoder(dim=64)
+        batched = BatchingEncoder(inner)
+        assert batched.dim == 64            # attribute passthrough
+        assert batched.encode([]).shape == (0, 64)
+        v = batched.encode_one("hello world")
+        assert v.shape == (64,)
+
+
+class TestBatchingIndex:
+    @pytest.fixture()
+    def corpus(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((512, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    def test_search_matches_unbatched(self, corpus):
+        inner = FlatIndex(dim=64, capacity=1024, name="mb_t")
+        inner.upsert(np.arange(1, 513, dtype=np.int64), corpus)
+        batched = BatchingIndex(inner, max_wait_ms=100.0)
+
+        rng = np.random.default_rng(1)
+        queries = [corpus[rng.integers(0, 512, 3)] for _ in range(8)]
+        expected = [inner.search(q, 5) for q in queries]
+
+        barrier = threading.Barrier(8)
+        results, errors = _run_threads(
+            8, lambda i: (barrier.wait(), batched.search(queries[i], 5))[1])
+        assert not errors
+        for (gi, gs), (wi, ws) in zip(results, expected):
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_allclose(gs, ws, rtol=1e-5)
+        stats = batched.stats()
+        assert stats["k5"]["submitted"] == 8
+        assert stats["k5"]["calls"] < 8, "searches were not coalesced"
+
+    def test_different_k_batched_separately(self, corpus):
+        inner = FlatIndex(dim=64, capacity=1024, name="mb_k")
+        inner.upsert(np.arange(1, 513, dtype=np.int64), corpus)
+        batched = BatchingIndex(inner, max_wait_ms=20.0)
+        q = corpus[:2]
+        ids5, _ = batched.search(q, 5)
+        ids9, _ = batched.search(q, 9)
+        assert ids5.shape == (2, 5) and ids9.shape == (2, 9)
+        assert set(batched.stats()) == {"k5", "k9"}
+
+    def test_mutations_pass_through_and_len(self, corpus):
+        inner = FlatIndex(dim=64, capacity=1024, name="mb_m")
+        batched = BatchingIndex(inner)
+        batched.upsert(np.arange(1, 513, dtype=np.int64), corpus)
+        assert batched.count() == 512
+        assert len(batched) == 512
+        batched.delete([1, 2, 3])
+        assert batched.count() == 509
+        # post-mutation search sees the change (1-D query also accepted)
+        ids, _ = batched.search(corpus[0], 5)
+        assert 1 not in ids[0]
+
+
+class TestRuntimeMicrobatch:
+    def test_engine_query_through_batched_stack(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("SERVE_MICROBATCH", "1")
+        monkeypatch.setenv("MICROBATCH_WAIT_MS", "5")
+        from financial_rag_tpu.config import FrameworkConfig
+        from financial_rag_tpu.runtime import Runtime
+        from financial_rag_tpu.serving.batcher import BatchingIndex as BI
+
+        rt = Runtime.build(FrameworkConfig.from_env(), data_dir=tmp_path)
+        assert all(isinstance(i, BI) for i in rt.indexes.values())
+        import json
+
+        src = tmp_path / "lease.json"
+        src.write_text(json.dumps({"blocks": [
+            {"content": "The second year rent is 42,800 per month.", "page": 1},
+            {"content": "The lock-in period is 36 months.", "page": 2},
+        ]}))
+        rt.pipeline.ingest_extracted_json(src, "lease")
+        barrier = threading.Barrier(4)
+        results, errors = _run_threads(
+            4, lambda i: (barrier.wait(),
+                          rt.engine.query(f"what is the rent? v{i}"))[1])
+        assert not errors
+        for r in results:
+            assert r["success"]
+            assert r["top_children_chunks"], "retrieval returned nothing"
