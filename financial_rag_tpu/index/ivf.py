@@ -264,12 +264,21 @@ class IVFIndex:
             q = queries.astype(jnp.float32)
             csims = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
             _, probes = jax.lax.top_k(csims, nprobe)         # [B, P]
-            tiles = jnp.take(storage, probes, axis=0)        # [B, P, L, D]
-            vmask = jnp.take(valid, probes, axis=0)          # [B, P, L]
-            scores = jnp.einsum("bd,bpld->bpl", q.astype(storage.dtype), tiles,
-                                preferred_element_type=jnp.float32)
-            scores = scores + (vmask - 1.0) * 1.0e5
-            flat = scores.reshape(q.shape[0], nprobe * ls)
+            qd = q.astype(storage.dtype)
+
+            # Scan over probes: one [B, L, D] tile gather + batched dot per
+            # step instead of materializing all [B, P, L, D] tiles at once —
+            # peak HBM is P-fold lower at identical FLOPs, which is what
+            # makes large-list geometries (big capacity / few lists) viable.
+            def probe_step(_, probe_col):                    # probe_col [B]
+                tile = jnp.take(storage, probe_col, axis=0)  # [B, L, D]
+                vrow = jnp.take(valid, probe_col, axis=0)    # [B, L]
+                s = jnp.einsum("bd,bld->bl", qd, tile,
+                               preferred_element_type=jnp.float32)
+                return 0, s + (vrow - 1.0) * 1.0e5
+
+            _, scores = jax.lax.scan(probe_step, 0, probes.T)   # [P, B, L]
+            flat = scores.transpose(1, 0, 2).reshape(q.shape[0], nprobe * ls)
             top_s, pos = jax.lax.top_k(flat, k)
             p_idx = pos // ls
             s_idx = pos % ls

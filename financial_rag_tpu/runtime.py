@@ -36,6 +36,15 @@ log = get_logger("runtime")
 POOLING_BY_MODEL = {"baai": "cls", "gte": "mean"}  # true checkpoint behavior
 
 
+def _ivf_list_size(capacity: int, nlist: int) -> int:
+    """Initial posting-list size: 2x the even split of capacity, clamped to
+    [128, 4096]. Uncapped, a mismatched capacity/nlist pair (e.g. the
+    default 131k capacity with IVF_NLIST=8) derives a 32k-slot list whose
+    probe tiles dwarf the corpus; lists grow on demand (_grow_and_place)
+    so the cap only bounds the INITIAL allocation."""
+    return min(max(capacity // max(nlist, 1) * 2, 128), 4096)
+
+
 def _build_encoder(name: str, path: Optional[str], pooling: str, cfg: FrameworkConfig):
     if path and Path(path).exists():
         try:
@@ -128,8 +137,8 @@ class Runtime:
                 else:
                     indexes[name] = ShardedIVFIndex(
                         dim=dim, n_shards=shards, nlist=cfg.index.ivf_nlist,
-                        list_size=max(cfg.index.capacity // shards
-                                      // cfg.index.ivf_nlist * 2, 128),
+                        list_size=_ivf_list_size(cfg.index.capacity // shards,
+                                                 cfg.index.ivf_nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=sname)
                     log.info("index %s: IVF sharded over %d devices", coll, shards)
@@ -160,7 +169,8 @@ class Runtime:
                 else:
                     indexes[name] = IVFIndex(
                         dim=dim, nlist=cfg.index.ivf_nlist,
-                        list_size=max(cfg.index.capacity // cfg.index.ivf_nlist * 2, 128),
+                        list_size=_ivf_list_size(cfg.index.capacity,
+                                                 cfg.index.ivf_nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=f"{coll}_ivf")
             elif (persist / f"{coll}.npz").exists():
