@@ -91,21 +91,27 @@ class MicroBatcher:
                 return
             batch = [first]
             weight = first.weight
-            deadline = time.monotonic() + self.max_wait_s
+            # Gather phase: ONE bounded sleep, then drain whatever queued.
+            # A loop of timed q.get()s would re-arm the timeout per item and
+            # inflate badly under GIL contention (each wake is scheduled
+            # late when request threads hold the GIL); a single sleep bounds
+            # the added latency to ~max_wait_s regardless of load.
+            if weight < self.max_items and self._q.empty():
+                time.sleep(self.max_wait_s)
+            stop = False
             while weight < self.max_items:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
                 try:
-                    nxt = self._q.get(timeout=remaining)
+                    nxt = self._q.get_nowait()
                 except Empty:
                     break
                 if nxt is None:
-                    self._run(batch)
-                    return
+                    stop = True
+                    break
                 batch.append(nxt)
                 weight += nxt.weight
             self._run(batch)
+            if stop:
+                return
 
     def _run(self, batch: List[_Slot]) -> None:
         self.calls += 1
@@ -190,6 +196,16 @@ class BatchingIndex(_Delegate):
                 if mb is None:
                     def run(groups: List[np.ndarray]) -> List[Tuple[np.ndarray, np.ndarray]]:
                         cat = np.concatenate(groups, axis=0)
+                        # pad to a power-of-two row bucket: jit retraces per
+                        # query-batch shape, and unpadded concatenations
+                        # produce a fresh shape (= a fresh compile) for
+                        # every distinct mix of coalesced requests
+                        b = cat.shape[0]
+                        bucket = 8
+                        while bucket < b:
+                            bucket *= 2
+                        if bucket > b:
+                            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
                         ids, scores = self.inner.search(cat, top_k, **kwargs)
                         out, lo = [], 0
                         for g in groups:

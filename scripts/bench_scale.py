@@ -34,15 +34,33 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def slope_time(jax, make_loop, iters_a, iters_b):
-    t = {}
-    for length in (iters_a, iters_b):
-        loop = make_loop(length)
-        _ = float(loop())
-        t0 = time.time()
-        _ = float(loop())
-        t[length] = time.time() - t0
-    return max((t[iters_b] - t[iters_a]) / (iters_b - iters_a), 1e-9)
+def slope_time(jax, make_loop, iters_a, iters_b, reps=3):
+    """Seconds/iteration as the slope between two scan lengths. The tunnel
+    adds ~8ms RTT with multi-ms jitter per dispatch; taking the MIN of
+    `reps` timings per length suppresses it (jitter is strictly additive).
+    If the slope still comes out non-positive (work ≪ jitter), retry once
+    with 8x the lengths so the device time dominates."""
+    def measure(scale):
+        t = {}
+        for length in (iters_a * scale, iters_b * scale):
+            loop = make_loop(length)
+            _ = float(loop())  # compile + warm
+            t[length] = min(
+                _timed(loop) for _ in range(reps)
+            )
+        return (t[iters_b * scale] - t[iters_a * scale]) / ((iters_b - iters_a) * scale)
+
+    dt = measure(1)
+    if dt <= 0:
+        log("slope non-positive (work below tunnel jitter); retrying with 8x lengths")
+        dt = measure(8)
+    return max(dt, 1e-9)
+
+
+def _timed(loop):
+    t0 = time.time()
+    _ = float(loop())
+    return time.time() - t0
 
 
 def time_flat(jax, jnp, idx, q, iters=(20, 100)):
@@ -105,7 +123,15 @@ def main():
     ap.add_argument("--skip-ivf", action="store_true")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # FRAG_PLATFORM=cpu forces the CPU backend for smoke runs (the TPU
+    # plugin force-registers itself and ignores a plain JAX_PLATFORMS)
+    plat = os.environ.get("FRAG_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from financial_rag_tpu.index.flat import FlatIndex
@@ -121,22 +147,32 @@ def main():
     results = []
     for n in args.scales:
         log(f"=== scale {n} ===")
-        # clustered corpus (mixture of Gaussians on the sphere): uniform
-        # random vectors have NO cluster structure, which makes IVF recall
-        # degenerate to ~nprobe/nlist (measured 0.12 at 32/1024) — text
-        # embeddings cluster, so a representative ANN benchmark must too.
+        # clustered corpus (mixture on the sphere): uniform random vectors
+        # have NO cluster structure, which makes IVF recall degenerate to
+        # ~nprobe/nlist — text embeddings cluster, so a representative ANN
+        # benchmark must too. CRITICAL: noise must be scaled as a fraction
+        # of the UNIT vector, not per-coordinate — per-coordinate sigma s
+        # gives a noise vector of norm s*sqrt(384) (6.9 at s=0.35), which
+        # drowns the center and silently produces a uniform corpus (round-2
+        # postmortem: recall@10 measured 0.13 == nprobe/nlist degeneracy).
+        def on_sphere_noise(base, radius):
+            g = rng.standard_normal(base.shape).astype(np.float32)
+            g /= np.linalg.norm(g, axis=1, keepdims=True)
+            out = base + radius * g
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
         c = max(n // 256, 64)
         centers = rng.standard_normal((c, 384)).astype(np.float32)
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         assign = rng.integers(c, size=n)
-        x = centers[assign] + 0.35 * rng.standard_normal((n, 384)).astype(np.float32)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        # intra-cluster radius 0.45 -> cos(point, center) ~ 0.91 (typical
+        # for same-topic sentence embeddings)
+        x = on_sphere_noise(centers[assign], 0.45)
         ids = np.arange(1, n + 1, dtype=np.int64)
         # queries: perturbations of corpus points (how real queries relate
-        # to their relevant documents)
+        # to their relevant documents); radius 0.35 -> cos ~ 0.94
         qsrc = x[rng.choice(n, size=args.batch, replace=False)]
-        q = qsrc + 0.3 * rng.standard_normal((args.batch, 384)).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = on_sphere_noise(qsrc, 0.35)
 
         configs = [("flat_bf16", dict(dtype=jnp.bfloat16)),
                    ("flat_int8", dict(dtype=jnp.int8))]
@@ -178,13 +214,19 @@ def main():
             for lo in range(0, n, UPLOAD_ROWS):
                 idx.upsert(ids[lo: lo + UPLOAD_ROWS], x[lo: lo + UPLOAD_ROWS])
             log(f"ivf: ingested {n} rows in {time.time()-t0:.1f}s")
-            for nprobe in (32, 64):
+            # auto-tune nprobe against the in-distribution query sample
+            # (index/tuning.py), then measure at {tuned, 32, 64}
+            report = idx.tune_nprobe(k=args.k, target_recall=0.95, queries=q)
+            log(f"ivf: tuned nprobe={report['nprobe']} "
+                f"(sweep={[(s['nprobe'], s['recall']) for s in report['sweep']]})")
+            for nprobe in sorted({report["nprobe"], 32, 64}):
                 dt = time_ivf(jax, jnp, idx, q, nprobe)
                 qps = 16 / dt  # compiled fn serves 16-query chunks
                 got_ids, _ = idx.search(q, args.k, nprobe=nprobe)
                 rec = float(np.mean([len(set(a) & set(b)) / args.k
                                      for a, b in zip(got_ids, flat_ids)]))
-                row = {"metric": f"ivf search QPS @ {n//1000}k chunks (nprobe={nprobe}, nlist={args.nlist})",
+                tuned = " TUNED" if nprobe == report["nprobe"] else ""
+                row = {"metric": f"ivf search QPS @ {n//1000}k chunks (nprobe={nprobe}{tuned}, nlist={args.nlist})",
                        "value": round(qps, 1), "unit": "qps",
                        "vs_baseline": round(qps / 50_000.0, 3),
                        "latency_ms_per_16q": round(dt * 1e3, 3),
