@@ -131,6 +131,7 @@ class FlatIndex:
             live.sort(key=lambda cs: cs[1])  # preserve insertion order
             old_slots = jnp.asarray(np.asarray([s for _, s in live], np.int32))
             vectors = self._vectors[old_slots] if live else self._vectors[:0]
+            weights = self._valid[old_slots] if live else self._valid[:0]
 
             self._vectors = jnp.zeros((self.capacity, self.dim), self.dtype)
             self._valid = jnp.zeros((self.capacity,), jnp.float32)
@@ -143,7 +144,8 @@ class FlatIndex:
             if live:
                 idxs = jnp.arange(len(live))
                 self._vectors = self._vectors.at[idxs].set(vectors)
-                self._valid = self._valid.at[idxs].set(1.0)
+                # carry each row's dequantization weight with it
+                self._valid = self._valid.at[idxs].set(weights)
             log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
             return reclaimed
 
@@ -173,8 +175,11 @@ class FlatIndex:
         from financial_rag_tpu.index.persist import encode_payload
 
         slots_d = jnp.asarray(slots)
-        self._vectors = self._vectors.at[slots_d].set(encode_payload(vectors, self.dtype))
-        self._valid = self._valid.at[slots_d].set(valid)
+        payload, weights = encode_payload(vectors, self.dtype)
+        self._vectors = self._vectors.at[slots_d].set(payload)
+        # validity doubles as the per-row dequantization weight (1.0 for
+        # float dtypes, max|v|/127 for int8 — see ops/topk._weighted_mask)
+        self._valid = self._valid.at[slots_d].set(jnp.asarray(weights * valid))
 
     def _grow(self) -> None:
         new_cap = self.capacity * 2
@@ -258,9 +263,12 @@ class FlatIndex:
         kwargs.pop("dim", None)  # saved dim wins over a caller-provided one
         idx = cls(dim=dim, capacity=max(used, TILE), name=name, **kwargs)
         if used:
-            unit = decode_payload(vectors, saved_dtype)
-            idx._vectors = idx._vectors.at[:used].set(encode_payload(unit, idx.dtype))
-            idx._valid = idx._valid.at[:used].set(jnp.asarray(valid))
+            unit = decode_payload(vectors, saved_dtype, weights=valid)
+            payload, weights = encode_payload(unit, idx.dtype)
+            idx._vectors = idx._vectors.at[:used].set(payload)
+            # re-encoded weights for live slots; tombstones stay 0
+            idx._valid = idx._valid.at[:used].set(
+                jnp.asarray(np.where(valid > 0, weights, 0.0).astype(np.float32)))
             idx._ids[:used] = ids
             idx._next_slot = used
             idx._slot_of = {int(cid): s for s, cid in enumerate(ids) if valid[s] > 0}

@@ -52,21 +52,37 @@ def atomic_write_json(path: Path, obj) -> None:
     atomic_write_text(path, json.dumps(obj, indent=2))
 
 
-def encode_payload(vectors_f32: np.ndarray, dtype) -> jnp.ndarray:
-    """Host float32 unit vectors -> device storage payload (int8 quantizes
-    symmetrically by INT8_SCALE; rounding, not truncation)."""
+def encode_payload(vectors_f32: np.ndarray, dtype):
+    """Host float32 unit vectors -> (device payload, per-row weights f32).
+
+    int8 quantizes PER VECTOR by its max-abs coordinate: a unit vector in
+    384-d has per-coordinate magnitude ~1/sqrt(384) ~ 0.05, so the old
+    global x127 scale used only ~±6 of the 127 levels; per-vector scaling
+    recovers the full range (~5x finer). The weight (max/127) rides in the
+    index's validity array — the search kernels multiply scores by it, so
+    live slots carry their dequantization scale and empty slots stay 0.
+    Float dtypes get weight 1.0 (scores pass through unchanged)."""
+    v = np.asarray(vectors_f32, np.float32)
     if dtype == jnp.int8:
-        q = np.clip(np.round(np.asarray(vectors_f32, np.float32) * INT8_SCALE),
-                    -127, 127).astype(np.int8)
-        return jnp.asarray(q)
-    return jnp.asarray(vectors_f32, dtype)
+        m = np.maximum(np.abs(v).max(axis=1), 1e-12)
+        q = np.clip(np.round(v * (INT8_SCALE / m[:, None])), -127, 127).astype(np.int8)
+        return jnp.asarray(q), (m / INT8_SCALE).astype(np.float32)
+    return jnp.asarray(v, dtype), np.ones(v.shape[0], np.float32)
 
 
-def decode_payload(raw: np.ndarray, saved_dtype: str | None) -> np.ndarray:
+def decode_payload(raw: np.ndarray, saved_dtype: str | None,
+                   weights: np.ndarray | None = None) -> np.ndarray:
     """Saved npz payload -> float32 unit-vector space. int8 indexes persist
-    their raw quantized values (cast to f32 in the npz); everything else is
-    already in unit-vector space."""
+    their raw quantized values (cast to f32 in the npz) with per-row
+    dequantization weights in the validity array; everything else is
+    already in unit-vector space.
+
+    Legacy guard: pre-weight int8 saves carried valid == 1.0 flags. A real
+    per-vector weight is max|unit|/127 <= 1/127 < 0.5, so weights > 0.5
+    mean legacy flags — fall back to the old global 1/127 decode."""
     raw = np.asarray(raw, np.float32)
     if saved_dtype == "int8":
+        if weights is not None and len(weights) and np.max(weights) <= 0.5:
+            return raw * np.asarray(weights, np.float32)[:, None]
         return raw / INT8_SCALE
     return raw

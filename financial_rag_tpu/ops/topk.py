@@ -32,27 +32,45 @@ from financial_rag_tpu.ops.common import default_interpret, round_up
 
 NEG = -3.0e4  # below any cosine similarity; safe in bf16/f32
 
-INT8_SCALE = 127.0  # symmetric per-element quantization of unit vectors
+INT8_SCALE = 127.0  # int8 level count; actual scales are per-vector/per-query max-abs
 
 
 def _tile_scores(q, x):
-    """Similarity of a query block against a corpus tile, in cosine range.
+    """Raw similarity of a query block against a corpus tile.
 
-    bf16/f32 corpus: bf16-in/f32-out MXU dot. int8 corpus (and int8-quantized
-    queries): exact int8xint8->int32 MXU dot rescaled by 1/127^2 — halves the
-    HBM stream for ~0.3% cosine error on 384-d unit vectors.
+    bf16/f32 corpus: bf16-in/f32-out MXU dot (already in cosine range).
+    int8 corpus (and int8-quantized queries): exact int8xint8->int32 MXU
+    dot — halves the HBM stream. Dequantization happens OUTSIDE this dot:
+    the kernel multiplies by the per-corpus-row weight carried in the
+    validity array (see persist.encode_payload) and the wrapper multiplies
+    by the per-query scale from quantize_queries, restoring cosine range.
     """
     if x.dtype == jnp.int8:
         s = jnp.dot(q, x.T, preferred_element_type=jnp.int32)
-        return s.astype(jnp.float32) * (1.0 / (INT8_SCALE * INT8_SCALE))
+        return s.astype(jnp.float32)
     return jnp.dot(q, x.T, preferred_element_type=jnp.float32)
 
 
-def quantize_queries(queries: jnp.ndarray, corpus_dtype) -> jnp.ndarray:
-    """Match query dtype to the corpus: int8 rounds (not truncates)."""
+def _weighted_mask(scores, w):
+    """scores * per-row weight, with empty slots (w == 0) pushed below any
+    real score. Float corpora carry weight 1.0 for live slots, so this is
+    the plain validity mask there; int8 corpora carry max|v|/127, which
+    dequantizes the integer dot on the fly."""
+    live = (w > 0.0).astype(jnp.float32)
+    return scores * w + (live - 1.0) * 1.0e5
+
+
+def quantize_queries(queries: jnp.ndarray, corpus_dtype):
+    """Match query dtype to the corpus. Returns (queries, qscale) where
+    qscale is a per-query [Bq, 1] f32 factor restoring score calibration
+    (None for float corpora). int8 quantizes per query by max-abs, with
+    rounding (not truncation); top-k ranking is invariant to the positive
+    per-query factor, so it multiplies the scores after the kernel."""
     if corpus_dtype == jnp.int8:
-        return jnp.clip(jnp.round(queries * INT8_SCALE), -127, 127).astype(jnp.int8)
-    return queries.astype(corpus_dtype)
+        m = jnp.maximum(jnp.max(jnp.abs(queries), axis=1, keepdims=True), 1e-12)
+        q = jnp.clip(jnp.round(queries * (INT8_SCALE / m)), -127, 127).astype(jnp.int8)
+        return q, (m / INT8_SCALE).astype(jnp.float32)
+    return queries.astype(corpus_dtype), None
 
 
 def _merge_topk(cand_scores, cand_idx, k: int):
@@ -95,8 +113,7 @@ def _topk_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, k: int, block
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    scores = _tile_scores(q_ref[:], x_ref[:])  # [Bq, T]
-    scores = scores + (valid_ref[:] - 1.0) * 1.0e5                              # mask empty slots
+    scores = _weighted_mask(_tile_scores(q_ref[:], x_ref[:]), valid_ref[:])  # [Bq, T]
 
     bq, t = scores.shape
     local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
@@ -130,8 +147,8 @@ def topk_matmul(
     if bqp != bq:
         queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
 
-    qdt = corpus.dtype
     grid = (bqp // block_q, n // block_n)
+    qq, qscale = quantize_queries(queries, corpus.dtype)
 
     out_s, out_i = pl.pallas_call(
         partial(_topk_kernel, k=k, block_n=block_n),
@@ -150,7 +167,12 @@ def topk_matmul(
             jax.ShapeDtypeStruct((bqp, kpad), jnp.int32),
         ),
         interpret=interpret,
-    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(qq, corpus, valid.reshape(1, n).astype(jnp.float32))
+    if qscale is not None:
+        # rescale only live raw scores; masked/unfilled sentinels (<= NEG)
+        # must stay below the downstream validity threshold
+        qs = qscale[:out_s.shape[0]]
+        out_s = jnp.where(out_s > NEG, out_s * qs, NEG)
     return out_s[:bq, :k], out_i[:bq, :k]
 
 
@@ -162,8 +184,7 @@ def _bucketed_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref, *, block_n: 
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG)
         out_i_ref[:] = jnp.full_like(out_i_ref, -1)
 
-    scores = _tile_scores(q_ref[:], x_ref[:])  # [Bq, T]
-    scores = scores + (valid_ref[:] - 1.0) * 1.0e5
+    scores = _weighted_mask(_tile_scores(q_ref[:], x_ref[:]), valid_ref[:])  # [Bq, T]
 
     bq, t = scores.shape
     local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
@@ -192,8 +213,7 @@ def _bucketed_fused_kernel(q_ref, x_ref, valid_ref, out_s_ref, out_i_ref,
         bs_ref[:] = jnp.full_like(bs_ref, NEG)
         bi_ref[:] = jnp.full_like(bi_ref, -1)
 
-    scores = _tile_scores(q_ref[:], x_ref[:])
-    scores = scores + (valid_ref[:] - 1.0) * 1.0e5
+    scores = _weighted_mask(_tile_scores(q_ref[:], x_ref[:]), valid_ref[:])
     bq, t = scores.shape
     local = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1) + j * block_n
     phase = jax.lax.rem(j, nphases)
@@ -239,8 +259,8 @@ def bucketed_topk_fused(
     bqp = round_up(max(bq, 1), block_q)
     if bqp != bq:
         queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
-    qdt = corpus.dtype
     grid = (bqp // block_q, n // block_n)
+    qq, qscale = quantize_queries(queries, corpus.dtype)
 
     nphases = nbuckets // block_n
     out_s, out_i = pl.pallas_call(
@@ -264,7 +284,12 @@ def bucketed_topk_fused(
             pltpu.VMEM((nphases, block_q, block_n), jnp.int32),
         ],
         interpret=interpret,
-    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(qq, corpus, valid.reshape(1, n).astype(jnp.float32))
+    if qscale is not None:
+        # rescale only live raw scores; masked/unfilled sentinels (<= NEG)
+        # must stay below the downstream validity threshold
+        qs = qscale[:out_s.shape[0]]
+        out_s = jnp.where(out_s > NEG, out_s * qs, NEG)
     return out_s[:bq, :k], out_i[:bq, :k]
 
 
@@ -304,8 +329,8 @@ def bucketed_topk(
     bqp = round_up(max(bq, 1), block_q)
     if bqp != bq:
         queries = jnp.pad(queries, ((0, bqp - bq), (0, 0)))
-    qdt = corpus.dtype
     grid = (bqp // block_q, n // block_n)
+    qq, qscale = quantize_queries(queries, corpus.dtype)
 
     bucket_s, bucket_i = pl.pallas_call(
         partial(_bucketed_kernel, block_n=block_n, nbuckets=nbuckets),
@@ -324,10 +349,12 @@ def bucketed_topk(
             jax.ShapeDtypeStruct((bqp, nbuckets), jnp.int32),
         ),
         interpret=interpret,
-    )(quantize_queries(queries, qdt), corpus, valid.reshape(1, n).astype(jnp.float32))
+    )(qq, corpus, valid.reshape(1, n).astype(jnp.float32))
 
     top_s, pos = jax.lax.top_k(bucket_s[:bq], k)
     top_i = jnp.take_along_axis(bucket_i[:bq], pos, axis=1)
+    if qscale is not None:
+        top_s = jnp.where(top_s > NEG, top_s * qscale[:bq], NEG)
     return top_s, top_i
 
 
@@ -349,7 +376,7 @@ def topk_matmul_reference(
     n = corpus.shape[0]
     chunk = min(chunk, n)
     assert n % chunk == 0, f"corpus rows {n} must be a multiple of chunk {chunk}"
-    q = quantize_queries(queries, corpus.dtype)
+    q, qscale = quantize_queries(queries, corpus.dtype)
     num_chunks = n // chunk
 
     corpus_r = corpus.reshape(num_chunks, chunk, d)
@@ -358,8 +385,7 @@ def topk_matmul_reference(
     def step(carry, inp):
         run_s, run_i = carry
         x, v, j = inp
-        s = _tile_scores(q, x)
-        s = s + (v[None, :] - 1.0) * 1.0e5
+        s = _weighted_mask(_tile_scores(q, x), v[None, :])
         idx = jnp.arange(chunk, dtype=jnp.int32)[None, :] + j * chunk
         cand_s = jnp.concatenate([run_s, s], axis=1)
         cand_i = jnp.concatenate([run_i, jnp.broadcast_to(idx, (bq, chunk))], axis=1)
@@ -371,4 +397,6 @@ def topk_matmul_reference(
     init = (jnp.full((bq, k), NEG, jnp.float32), jnp.full((bq, k), -1, jnp.int32))
     js = jnp.arange(num_chunks, dtype=jnp.int32)
     (out_s, out_i), _ = jax.lax.scan(step, init, (corpus_r, valid_r, js))
+    if qscale is not None:
+        out_s = jnp.where(out_s > NEG, out_s * qscale, NEG)
     return out_s, out_i

@@ -145,11 +145,14 @@ class ShardedFlatIndex:
                     self._ids[slot] = cid
                 slots[j] = slot
             slots_d = jnp.asarray(slots)
+            payload, weights = encode_payload(vectors, self.dtype)
             self._vectors = jax.device_put(
-                self._vectors.at[slots_d].set(encode_payload(vectors, self.dtype)),
-                self._row_sharding)
+                self._vectors.at[slots_d].set(payload), self._row_sharding)
+            # validity doubles as the per-row dequantization weight
+            # (1.0 for float dtypes, max|v|/127 for int8)
             self._valid = jax.device_put(
-                self._valid.at[slots_d].set(1.0), self._valid_sharding)
+                self._valid.at[slots_d].set(jnp.asarray(weights)),
+                self._valid_sharding)
 
     def delete(self, ids) -> int:
         with self._lock:
@@ -248,7 +251,8 @@ class ShardedFlatIndex:
                   name=name, **kwargs)
         live = np.nonzero(valid > 0)[0]
         if len(live):
-            idx.upsert(ids[live], decode_payload(vectors[live], saved_dtype))
+            idx.upsert(ids[live], decode_payload(vectors[live], saved_dtype,
+                                                 weights=valid[live]))
         return idx
 
     def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
