@@ -63,6 +63,22 @@ def _timed(loop):
     return time.time() - t0
 
 
+def host_oracle_topk(q, x, ids, k, slice_rows=1_048_576):
+    """Exact top-k ids by brute-force f32 matmul over corpus slices."""
+    best_s = np.full((q.shape[0], k), -np.inf, np.float32)
+    best_i = np.zeros((q.shape[0], k), np.int64)
+    for lo in range(0, x.shape[0], slice_rows):
+        s = q @ x[lo: lo + slice_rows].T
+        cand_s = np.concatenate([best_s, s], axis=1)
+        cand_i = np.concatenate(
+            [best_i, np.broadcast_to(ids[lo: lo + slice_rows], (q.shape[0], s.shape[1]))],
+            axis=1)
+        part = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+        best_s = np.take_along_axis(cand_s, part, axis=1)
+        best_i = np.take_along_axis(cand_i, part, axis=1)
+    return best_i
+
+
 def time_flat(jax, jnp, idx, q, iters=(20, 100)):
     """Scan-chained slope over the index's own compiled search fn."""
     idx.search(q[:1], 10)  # prime compile
@@ -121,6 +137,10 @@ def main():
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--out", default="BENCH_SCALE.json")
     ap.add_argument("--skip-ivf", action="store_true")
+    # bf16 at 10M needs ~8GB storage x2 during the upsert's copy-on-write
+    # .at[].set — past a single v5e's 16GB HBM; int8-only fits (3.8GB x2)
+    ap.add_argument("--dtypes", default="bf16,int8",
+                    help="comma list from {bf16,int8}")
     args = ap.parse_args()
 
     import os
@@ -174,8 +194,9 @@ def main():
         qsrc = x[rng.choice(n, size=args.batch, replace=False)]
         q = on_sphere_noise(qsrc, 0.35)
 
-        configs = [("flat_bf16", dict(dtype=jnp.bfloat16)),
-                   ("flat_int8", dict(dtype=jnp.int8))]
+        all_configs = {"bf16": ("flat_bf16", dict(dtype=jnp.bfloat16)),
+                       "int8": ("flat_int8", dict(dtype=jnp.int8))}
+        configs = [all_configs[d.strip()] for d in args.dtypes.split(",") if d.strip()]
         flat_ids = None
         for name, kw in configs:
             idx = FlatIndex(dim=384, capacity=n, name=name, **kw)
@@ -190,6 +211,11 @@ def main():
                 flat_ids = got_ids
                 rec = 1.0
             else:
+                if flat_ids is None:
+                    # int8-only run: exact f32 ground truth on host, in
+                    # slices (a [B, N] score matrix at 10M won't fit)
+                    log("computing host f32 oracle for recall reference...")
+                    flat_ids = host_oracle_topk(q, x, ids, args.k)
                 rec = float(np.mean([len(set(a) & set(b)) / args.k
                                      for a, b in zip(got_ids, flat_ids)]))
             row = {"metric": f"{name} search QPS @ {n//1000}k chunks (k=24, batch={args.batch})",
