@@ -106,8 +106,9 @@ class IndexConfig:
     dim: int = 384
     capacity: int = field(default_factory=lambda: _env("INDEX_CAPACITY", 1 << 17))
     dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
-    # IVF
-    ivf_nlist: int = field(default_factory=lambda: _env("IVF_NLIST", 1024))
+    # IVF (nlist 0 = auto: power-of-two ≈ 4·sqrt(capacity), see
+    # index/ivf.recommended_nlist)
+    ivf_nlist: int = field(default_factory=lambda: _env("IVF_NLIST", 0))
     ivf_nprobe: int = field(default_factory=lambda: _env("IVF_NPROBE", 64))
     ivf_kmeans_iters: int = field(default_factory=lambda: _env("IVF_KMEANS_ITERS", 12))
     # after each ingest sweep, auto-tune nprobe to the smallest value whose

@@ -4,11 +4,17 @@ Replaces the capability of the reference's dead pgvector IVFFlat path
 (reference pgvector_child_store.py:78-100) with a TPU-shaped design:
 
 - grouped storage [nlist, list_size, D]: every posting list is a fixed-size
-  padded tile, so probe gathers are static-shape `jnp.take` calls;
+  padded tile, so each probe is one contiguous HBM block;
 - spherical k-means trained on device (Lloyd's iterations = one batched
   matmul-argmax assignment + segment-sum update per step, all MXU work);
-- search: queries x centroids matmul -> top-nprobe lists -> gather probed
-  tiles -> fused scoring + top-k over the probed subset.
+- search: queries x centroids matmul -> top-nprobe lists -> Pallas fused
+  gather+score kernel (ops/ivf_probe.py: probe ids ride as scalar-prefetch
+  args driving the BlockSpec index_map, so probed tiles stream HBM->VMEM as
+  double-buffered contiguous DMAs) -> top-k over the probed subset;
+- int8 storage supported with the same per-vector dequantization-weight
+  scheme as the flat index (index/persist.encode_payload): weights ride in
+  the validity array, the kernel does a raw int8xint8 MXU dot and
+  dequantizes by weight, the wrapper applies the per-query scale.
 
 Note on when to use which index: on TPU, the flat bucketed sweep
 (index/flat.py) amortizes one corpus stream over the whole query batch, so
@@ -21,6 +27,7 @@ with sharding (parallel/) for the 10M-chunk configuration.
 from __future__ import annotations
 
 import json
+from functools import partial
 import threading
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
@@ -30,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from financial_rag_tpu.ops.common import round_up
+from financial_rag_tpu.ops.ivf_probe import probe_scores, probe_scores_reference
+from financial_rag_tpu.ops.topk import NEG, quantize_queries
 from financial_rag_tpu.utils import get_logger
 
 log = get_logger("index.ivf")
@@ -37,19 +46,36 @@ log = get_logger("index.ivf")
 
 # ----------------------------------------------------------------- k-means
 
-def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
-    """k-means++ seeding on cosine distance (spread-out initial centroids)."""
-    n = x.shape[0]
-    first = int(rng.integers(n))
-    centroids = [x[first]]
-    best_sim = x @ x[first]
-    for _ in range(k - 1):
-        d2 = np.maximum(1.0 - best_sim, 1e-9)
-        probs = d2 / d2.sum()
-        nxt = int(rng.choice(n, p=probs))
-        centroids.append(x[nxt])
-        best_sim = np.maximum(best_sim, x @ x[nxt])
-    return np.stack(centroids)
+@partial(jax.jit, static_argnums=(1,))
+def _kmeans_pp_init(xd: jnp.ndarray, k: int, seed) -> jnp.ndarray:
+    """k-means++ seeding on cosine distance, entirely on device.
+
+    The classic algorithm is a serial host loop (k rounds of "sample a
+    point with probability ∝ distance²") — at nlist=4096 over a 200k
+    sample that is minutes of host matvecs. Here each round instead
+    samples via the Gumbel-max trick (argmax(log d² + Gumbel) draws
+    exactly ∝ d², see PAPERS.md on reservoir/Gumbel sampling folklore),
+    so the whole init is one lax.fori_loop of matvec + max-update with no
+    host round-trips: ~2s where the host loop took minutes."""
+    n, d = xd.shape
+    key0 = jax.random.PRNGKey(seed)
+    key0, sub = jax.random.split(key0)
+    first = jax.random.randint(sub, (), 0, n)
+    c0 = jnp.zeros((k, d), jnp.float32).at[0].set(xd[first])
+    best0 = jnp.dot(xd, xd[first], preferred_element_type=jnp.float32)
+
+    def step(i, carry):
+        c, best_sim, key = carry
+        key, sub = jax.random.split(key)
+        d2 = jnp.maximum(1.0 - best_sim, 1e-9)
+        nxt = jnp.argmax(jnp.log(d2) + jax.random.gumbel(sub, (n,)))
+        cnew = xd[nxt]
+        c = c.at[i].set(cnew)
+        best_sim = jnp.maximum(best_sim, jnp.dot(xd, cnew, preferred_element_type=jnp.float32))
+        return c, best_sim, key
+
+    c, _, _ = jax.lax.fori_loop(1, k, step, (c0, best0, key0))
+    return c
 
 
 def kmeans(
@@ -57,25 +83,33 @@ def kmeans(
     k: int,
     iters: int = 12,
     seed: int = 0,
-    n_init: int = 3,
+    n_init: Optional[int] = None,
 ) -> np.ndarray:
-    """Spherical k-means: k-means++ init, device Lloyd's iterations,
+    """Spherical k-means: device k-means++ init, device Lloyd's iterations,
     empty-cluster reseeding to the worst-fit points, and `n_init` restarts
     keeping the run with the best quantization (mean max-sim) — Lloyd's on
     clustered data has genuine local optima (two seeds in one true cluster
-    merging two others). Returns unit-norm centroids [k, D]."""
+    merging two others). `n_init` defaults to 3 for small k and 1 for
+    k >= 1024 (restart variance shrinks with k while restart cost grows).
+    Returns unit-norm centroids [k, D]."""
+    if n_init is None:
+        n_init = 3 if k < 1024 else 1
     x = np.asarray(vectors, np.float32)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n, d = x.shape
     xd = jnp.asarray(x)
 
-    @jax.jit
-    def step(c):
-        sims = jnp.dot(xd, c.T, preferred_element_type=jnp.float32)     # [N, k]
+    # the corpus sample rides as a jit ARGUMENT, not a closure constant:
+    # closed-over arrays are baked into the compile payload, which the
+    # remote-compile tunnel rejects above ~400MB (and bloats cache keys)
+    @partial(jax.jit, static_argnums=(2,))
+    def step(xa, c, k):
+        sims = jnp.dot(xa, c.T, preferred_element_type=jnp.float32)     # [N, k]
         assign = jnp.argmax(sims, axis=1)
         fit = jnp.max(sims, axis=1)                                     # per-point best sim
-        sums = jax.ops.segment_sum(xd, assign, num_segments=k)
-        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign, num_segments=k)
+        sums = jax.ops.segment_sum(xa, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones(xa.shape[:1], jnp.float32), assign,
+                                     num_segments=k)
         new_c = sums / jnp.maximum(counts[:, None], 1e-9)
         norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         new_c = new_c / jnp.maximum(norms, 1e-12)
@@ -84,12 +118,14 @@ def kmeans(
 
     best_c, best_score = None, -np.inf
     for trial in range(max(n_init, 1)):
-        rng = np.random.default_rng(seed + 7919 * trial)
-        init = _kmeans_pp_init(x, k, rng) if n >= k else x[rng.choice(n, size=k)]
-        c = jnp.asarray(init)
+        if n >= k:
+            c = _kmeans_pp_init(xd, k, seed + 7919 * trial)
+        else:
+            rng = np.random.default_rng(seed + 7919 * trial)
+            c = jnp.asarray(x[rng.choice(n, size=k)])
         fit = None
         for _ in range(iters):
-            c, counts, fit = step(c)
+            c, counts, fit = step(xd, c, k)
             empty = np.nonzero(np.asarray(counts) == 0)[0]
             if len(empty):
                 # reseed each empty cluster at the point fitting worst; with
@@ -104,6 +140,20 @@ def kmeans(
         if score > best_score:
             best_c, best_score = np.asarray(c), score
     return best_c
+
+
+def recommended_nlist(capacity: int) -> int:
+    """Power-of-two nlist ≈ 4·√N.
+
+    Balances the two HBM costs of a probe: the centroid scan (B × nlist
+    matmul, grows with nlist) and the probed tiles (nprobe × N/nlist × D,
+    shrinks with nlist). At the √N·const sweet spot a 1M-chunk corpus gets
+    4096 lists of ~256 vectors — per-query probe traffic ~25x below a flat
+    sweep at equal recall (nprobe=32). Clamped to [64, 65536]."""
+    import math
+
+    target = 4.0 * math.sqrt(max(capacity, 1))
+    return max(64, min(1 << 16, 1 << round(math.log2(target))))
 
 
 # ------------------------------------------------------------------- index
@@ -123,13 +173,6 @@ class IVFIndex:
         self.nlist = nlist
         self.list_size = round_up(list_size, 128)
         self.nprobe = min(nprobe, nlist)
-        if dtype == jnp.int8:
-            # IVF scores probed tiles with a direct einsum (no int8 dequant
-            # path like ops/topk._tile_scores); int8 storage would truncate
-            # unit vectors to zero. Coerce — IVF's HBM win comes from
-            # probing, not storage dtype.
-            log.warning("IVFIndex does not support int8 storage; using bfloat16")
-            dtype = jnp.bfloat16
         self.dtype = dtype
         self.name = name
 
@@ -159,9 +202,13 @@ class IVFIndex:
     # ------------------------------------------------------------- updates
 
     def _assignments(self, vectors: np.ndarray, depth: int = 4) -> np.ndarray:
-        """Top-`depth` candidate lists per vector (for overflow fallback)."""
-        sims = np.asarray(jnp.dot(jnp.asarray(vectors, jnp.float32), self.centroids.T))
-        return np.argsort(-sims, axis=1, kind="stable")[:, :depth]
+        """Top-`depth` candidate lists per vector (for overflow fallback).
+        Device top-k: a host argsort over [batch, nlist] dominates ingest
+        at nlist >= 4096."""
+        sims = jnp.dot(jnp.asarray(vectors, jnp.float32), self.centroids.T,
+                       preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(sims, min(depth, self.nlist))
+        return np.asarray(idx)
 
     def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
         if not self.is_trained:
@@ -195,10 +242,15 @@ class IVFIndex:
                 lists.append(li)
                 slots.append(sl)
 
+            from financial_rag_tpu.index.persist import encode_payload
+
             li_a = jnp.asarray(np.asarray(lists, np.int32))
             sl_a = jnp.asarray(np.asarray(slots, np.int32))
-            self._storage = self._storage.at[li_a, sl_a].set(jnp.asarray(vectors, self.dtype))
-            self._valid = self._valid.at[li_a, sl_a].set(1.0)
+            payload, weights = encode_payload(vectors, self.dtype)
+            self._storage = self._storage.at[li_a, sl_a].set(payload)
+            # validity doubles as the per-row dequantization weight (1.0 for
+            # float dtypes, max|v|/127 for int8 — ops/topk._weighted_mask)
+            self._valid = self._valid.at[li_a, sl_a].set(jnp.asarray(weights))
 
     def _grow_and_place(self, li: int) -> Tuple[int, int]:
         new_ls = self.list_size * 2
@@ -222,7 +274,10 @@ class IVFIndex:
                 return
             ids = [cid for cid, _ in live]
             locs = np.asarray([loc for _, loc in live])
+            # raw payload x per-row weight == unit vector for every dtype
+            # (weight is 1.0 for floats, max|v|/127 for int8)
             vecs = np.asarray(self._storage, np.float32)[locs[:, 0], locs[:, 1]]
+            vecs = vecs * np.asarray(self._valid)[locs[:, 0], locs[:, 1], None]
 
             self.centroids = None
             self._storage = jnp.zeros_like(self._storage)
@@ -258,28 +313,25 @@ class IVFIndex:
         # visible to search (same discipline as FlatIndex._dispatch) and
         # the compiled fn stays valid across mutations of equal shape.
         ls = self.list_size
+        # native Pallas kernel on TPU; compiled XLA scan elsewhere
+        # (interpret-mode Pallas steps the grid in Python — test-only)
+        probe_fn = (probe_scores if jax.default_backend() == "tpu"
+                    else probe_scores_reference)
 
         @jax.jit
         def run(queries, storage, valid, centroids):         # [B, D] f32
             q = queries.astype(jnp.float32)
             csims = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
             _, probes = jax.lax.top_k(csims, nprobe)         # [B, P]
-            qd = q.astype(storage.dtype)
 
-            # Scan over probes: one [B, L, D] tile gather + batched dot per
-            # step instead of materializing all [B, P, L, D] tiles at once —
-            # peak HBM is P-fold lower at identical FLOPs, which is what
-            # makes large-list geometries (big capacity / few lists) viable.
-            def probe_step(_, probe_col):                    # probe_col [B]
-                tile = jnp.take(storage, probe_col, axis=0)  # [B, L, D]
-                vrow = jnp.take(valid, probe_col, axis=0)    # [B, L]
-                s = jnp.einsum("bd,bld->bl", qd, tile,
-                               preferred_element_type=jnp.float32)
-                return 0, s + (vrow - 1.0) * 1.0e5
-
-            _, scores = jax.lax.scan(probe_step, 0, probes.T)   # [P, B, L]
-            flat = scores.transpose(1, 0, 2).reshape(q.shape[0], nprobe * ls)
+            qq, qscale = quantize_queries(q, storage.dtype)
+            scores = probe_fn(qq, storage, valid, probes)    # [B, P, L] f32
+            flat = scores.reshape(q.shape[0], nprobe * ls)
             top_s, pos = jax.lax.top_k(flat, k)
+            if qscale is not None:
+                # rescale live raw int8 scores; masked slots (~-1e5 < NEG)
+                # stay below the downstream validity threshold
+                top_s = jnp.where(top_s > NEG, top_s * qscale, top_s)
             p_idx = pos // ls
             s_idx = pos % ls
             l_idx = jnp.take_along_axis(probes, p_idx, axis=1)
@@ -338,7 +390,8 @@ class IVFIndex:
             locs = [locs[i] for i in sel]
         la = jnp.asarray(np.asarray([l for l, _ in locs], np.int32))
         sa = jnp.asarray(np.asarray([s for _, s in locs], np.int32))
-        return np.asarray(self._storage[la, sa], np.float32)
+        raw = np.asarray(self._storage[la, sa], np.float32)
+        return raw * np.asarray(self._valid[la, sa], np.float32)[:, None]
 
     def tune_nprobe(self, **kwargs) -> dict:
         """Pick the smallest nprobe meeting a recall target; see
@@ -383,8 +436,25 @@ class IVFIndex:
                   list_size=manifest["list_size"], nprobe=manifest["nprobe"],
                   name=name, **kwargs)
         idx.centroids = jnp.asarray(data["centroids"])
-        idx._storage = jnp.asarray(data["storage"], idx.dtype)
-        idx._valid = jnp.asarray(data["valid"])
+        if STR_TO_DTYPE.get(saved_dtype, jnp.bfloat16) == idx.dtype:
+            # same dtype: raw payload + weights reload verbatim
+            idx._storage = jnp.asarray(data["storage"], idx.dtype)
+            idx._valid = jnp.asarray(data["valid"])
+        else:
+            # dtype changed between save and load: decode raw payload to
+            # unit-vector space by its saved weights, re-encode for the new
+            # dtype; empty slots keep weight 0 (encode of a zero row would
+            # otherwise mark it live)
+            from financial_rag_tpu.index.persist import decode_payload, encode_payload
+
+            nl, ls, dim = data["storage"].shape
+            raw2d = data["storage"].reshape(nl * ls, dim)
+            w2d = data["valid"].reshape(nl * ls)
+            unit = decode_payload(raw2d, saved_dtype, weights=w2d)
+            payload, weights = encode_payload(unit, idx.dtype)
+            idx._storage = payload.reshape(nl, ls, dim)
+            idx._valid = jnp.asarray(
+                np.where(w2d > 0, weights, 0.0).astype(np.float32).reshape(nl, ls))
         idx._ids = data["ids"]
         idx._fill = data["fill"]
         valid = data["valid"]

@@ -126,9 +126,12 @@ class Runtime:
             if shards > 1 and cfg.index.kind == "ivf":
                 # the 10M-chunk configuration (BASELINE configs[4]): one IVF
                 # partition per device, round-robin routing, host-side merge
+                from financial_rag_tpu.index.ivf import recommended_nlist
                 from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
                 sname = f"{coll}_ivf_sharded"
+                nlist = (cfg.index.ivf_nlist
+                         or recommended_nlist(cfg.index.capacity // shards))
                 if (persist / f"{sname}_0.manifest.json").exists():
                     indexes[name] = ShardedIVFIndex.load(
                         persist, n_shards=shards, name=sname)
@@ -136,9 +139,9 @@ class Runtime:
                              coll, indexes[name].count())
                 else:
                     indexes[name] = ShardedIVFIndex(
-                        dim=dim, n_shards=shards, nlist=cfg.index.ivf_nlist,
+                        dim=dim, n_shards=shards, nlist=nlist,
                         list_size=_ivf_list_size(cfg.index.capacity // shards,
-                                                 cfg.index.ivf_nlist),
+                                                 nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=sname)
                     log.info("index %s: IVF sharded over %d devices", coll, shards)
@@ -159,8 +162,9 @@ class Runtime:
                         dtype=index_dtype, name=coll)
                     log.info("index %s: sharded over %d devices", coll, shards)
             elif cfg.index.kind == "ivf":
-                from financial_rag_tpu.index.ivf import IVFIndex
+                from financial_rag_tpu.index.ivf import IVFIndex, recommended_nlist
 
+                nlist = cfg.index.ivf_nlist or recommended_nlist(cfg.index.capacity)
                 if (persist / f"{coll}_ivf.manifest.json").exists():
                     indexes[name] = IVFIndex.load(persist, name=f"{coll}_ivf",
                                                   dtype=index_dtype)
@@ -168,9 +172,8 @@ class Runtime:
                              indexes[name].count())
                 else:
                     indexes[name] = IVFIndex(
-                        dim=dim, nlist=cfg.index.ivf_nlist,
-                        list_size=_ivf_list_size(cfg.index.capacity,
-                                                 cfg.index.ivf_nlist),
+                        dim=dim, nlist=nlist,
+                        list_size=_ivf_list_size(cfg.index.capacity, nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=f"{coll}_ivf")
             elif (persist / f"{coll}.npz").exists():

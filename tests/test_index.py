@@ -251,6 +251,62 @@ class TestIVFIndex:
         np.testing.assert_array_equal(a, b)
 
 
+    def test_int8_storage_recall(self):
+        # int8 IVF: per-vector quantization scales ride in the validity
+        # array (same scheme as FlatIndex); recall stays near the bf16 path
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(42)
+        d, n, k = 128, 4000, 10
+        centers = _unit(rng, 16, d)
+        x = centers[rng.integers(0, 16, n)] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(5, 5 + n, dtype=np.int64)
+        idx = IVFIndex(dim=d, nlist=32, list_size=256, nprobe=32, dtype=jnp.int8)
+        idx.train(x[:2000], iters=8)
+        idx.upsert(ids, x)
+
+        q = x[rng.integers(0, n, 8)] + 0.05 * rng.standard_normal((8, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        got_ids, got_s = idx.search(q, k)          # full probe = exhaustive
+        order, ref_s = _oracle(q, x, k)
+        ref_ids = ids[order]
+        recall = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(got_ids, ref_ids)])
+        assert recall >= 0.9, recall
+        # scores come back dequantized into cosine range
+        assert np.all(got_s <= 1.05) and np.abs(got_s[:, 0] - ref_s[:, 0]).max() < 0.05
+
+    def test_int8_save_load_and_dtype_change(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        d, n = 64, 512
+        x = _unit(rng, n, d)
+        idx = IVFIndex(dim=d, nlist=8, list_size=128, nprobe=8, dtype=jnp.int8, name="ivf_i8")
+        idx.train(x, iters=4)
+        idx.upsert(np.arange(100, 100 + n, dtype=np.int64), x)
+        idx.delete([100, 101])
+        idx.save(tmp_path)
+
+        q = _unit(rng, 3, d)
+        a_ids, a_s = idx.search(q, 5)
+
+        # same-dtype reload: identical results
+        idx2 = IVFIndex.load(tmp_path, name="ivf_i8")
+        assert idx2.dtype == jnp.int8 and idx2.count() == n - 2
+        b_ids, b_s = idx2.search(q, 5)
+        np.testing.assert_array_equal(a_ids, b_ids)
+        np.testing.assert_allclose(a_s, b_s, atol=1e-5)
+
+        # cross-dtype reload decodes int8 payload back to unit-vector space
+        idx3 = IVFIndex.load(tmp_path, name="ivf_i8", dtype=jnp.bfloat16)
+        assert idx3.dtype == jnp.bfloat16
+        c_ids, c_s = idx3.search(q, 5)
+        assert len(set(c_ids[0].tolist()) & set(a_ids[0].tolist())) >= 4
+        assert np.all(c_s[np.isfinite(c_s)] <= 1.05)
+        assert 100 not in set(c_ids.ravel().tolist())
+
+
 class TestStores:
     def test_snowflake_unique_and_sortable(self):
         from financial_rag_tpu.store import SnowflakeGenerator

@@ -370,3 +370,75 @@ class TestFlashAttention:
         moved = np.abs(np.asarray(params2["embeddings"]["word"])
                        - np.asarray(params["embeddings"]["word"])).max()
         assert moved > 0
+
+
+class TestProbeScores:
+    """ops/ivf_probe.py: fused IVF gather+score kernel vs a numpy oracle."""
+
+    def _oracle(self, q, storage, w, probes):
+        b, p = probes.shape
+        L = storage.shape[1]
+        ref = np.empty((b, p, L), np.float32)
+        for bi in range(b):
+            for pi in range(p):
+                li = probes[bi, pi]
+                s = q[bi].astype(np.float32) @ storage[li].astype(np.float32).T
+                ref[bi, pi] = s * w[li] + (w[li] > 0) * 1e5 - 1e5
+        return ref
+
+    def test_matches_oracle_with_empty_slots(self, rng):
+        from financial_rag_tpu.ops.ivf_probe import probe_scores
+
+        nlist, L, d, b, p = 8, 128, 384, 5, 3
+        storage = rng.standard_normal((nlist, L, d)).astype(np.float32)
+        w = (rng.random((nlist, L)) > 0.3).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        probes = rng.integers(0, nlist, size=(b, p)).astype(np.int32)
+        out = np.asarray(probe_scores(
+            jnp.asarray(q), jnp.asarray(storage), jnp.asarray(w), jnp.asarray(probes)))
+        ref = self._oracle(q, storage, w, probes)
+        np.testing.assert_allclose(out, ref, atol=2e-2)
+        # empty slots are pushed far below any real cosine score
+        assert (out[ref <= -9e4] < -9e4).all()
+
+    def test_int8_storage_dequantizes(self, rng):
+        from financial_rag_tpu.ops.ivf_probe import probe_scores
+        from financial_rag_tpu.ops.topk import quantize_queries
+        from financial_rag_tpu.index.persist import encode_payload
+
+        nlist, L, d, b, p = 4, 128, 128, 3, 2
+        unit = rng.standard_normal((nlist * L, d)).astype(np.float32)
+        unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+        payload, w2d = encode_payload(unit, jnp.int8)
+        storage = np.asarray(payload).reshape(nlist, L, d)
+        w = w2d.reshape(nlist, L)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        probes = rng.integers(0, nlist, size=(b, p)).astype(np.int32)
+
+        qq, qscale = quantize_queries(jnp.asarray(q), jnp.int8)
+        raw = np.asarray(probe_scores(
+            qq, jnp.asarray(storage), jnp.asarray(w), jnp.asarray(probes)))
+        out = raw * np.asarray(qscale)[:, :, None]
+
+        ref = np.empty_like(out)
+        for bi in range(b):
+            for pi in range(p):
+                li = probes[bi, pi]
+                ref[bi, pi] = q[bi] @ unit[li * L:(li + 1) * L].T
+        # per-vector int8 quantization keeps cosine scores within ~1%
+        np.testing.assert_allclose(out, ref, atol=2e-2)
+
+    def test_reference_matches_kernel(self, rng):
+        from financial_rag_tpu.ops.ivf_probe import probe_scores, probe_scores_reference
+
+        nlist, L, d, b, p = 6, 128, 256, 4, 5
+        storage = rng.standard_normal((nlist, L, d)).astype(np.float32)
+        w = (rng.random((nlist, L)) > 0.2).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        probes = rng.integers(0, nlist, size=(b, p)).astype(np.int32)
+        a = np.asarray(probe_scores(
+            jnp.asarray(q), jnp.asarray(storage), jnp.asarray(w), jnp.asarray(probes)))
+        r = np.asarray(probe_scores_reference(
+            jnp.asarray(q), jnp.asarray(storage), jnp.asarray(w), jnp.asarray(probes)))
+        np.testing.assert_allclose(a, r, atol=2e-2)
