@@ -43,6 +43,16 @@ log = get_logger("index.flat")
 TILE = 1024  # kernel corpus tile; capacity is always a multiple
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _donated_scatter(vectors, valid, slots, payload, weights):
+    """In-place index update: donating the storage buffers lets XLA write
+    into them directly instead of materializing a second copy — peak HBM
+    stays at 1x storage during ingest (see ROADMAP '10M single-chip')."""
+    # validity doubles as the per-row dequantization weight (1.0 for
+    # float dtypes, max|v|/127 for int8 — see ops/topk._weighted_mask)
+    return vectors.at[slots].set(payload), valid.at[slots].set(weights)
+
+
 class FlatIndex:
     """Exact / near-exact cosine top-k over an HBM-resident corpus."""
 
@@ -160,7 +170,11 @@ class FlatIndex:
         if not self._slot_of:
             return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
 
-        scores, slots = self._dispatch(jnp.asarray(queries), top_k)
+        # under the lock: a donated in-place upsert invalidates the old
+        # storage buffer, so a search racing it could dispatch a deleted
+        # array (pre-donation it merely read stale data)
+        with self._lock:
+            scores, slots = self._dispatch(jnp.asarray(queries), top_k)
         scores = np.array(scores)
         slots = np.array(slots)
         ids = np.where(slots >= 0, self._ids[np.maximum(slots, 0)], 0)
@@ -174,12 +188,21 @@ class FlatIndex:
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
         from financial_rag_tpu.index.persist import encode_payload
 
-        slots_d = jnp.asarray(slots)
         payload, weights = encode_payload(vectors, self.dtype)
-        self._vectors = self._vectors.at[slots_d].set(payload)
-        # validity doubles as the per-row dequantization weight (1.0 for
-        # float dtypes, max|v|/127 for int8 — see ops/topk._weighted_mask)
-        self._valid = self._valid.at[slots_d].set(jnp.asarray(weights * valid))
+        # donated scatter: without donation the .at[].set copy-on-write
+        # doubles peak HBM during ingest (fatal at 10M-chunk scale — the
+        # corpus alone is half of a v5e's 16GB). Batch padded to a power of
+        # two (duplicating the last slot; duplicate set of one value is
+        # idempotent) so compile count stays logarithmic, not per-size.
+        n = len(slots)
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+        if npad != n:
+            slots = np.concatenate([slots, np.full(npad - n, slots[-1], slots.dtype)])
+            payload = jnp.concatenate([payload, jnp.broadcast_to(payload[-1], (npad - n, payload.shape[1]))])
+            weights = np.concatenate([weights, np.full(npad - n, weights[-1], weights.dtype)])
+        self._vectors, self._valid = _donated_scatter(
+            self._vectors, self._valid, jnp.asarray(slots), payload,
+            jnp.asarray(weights * valid))
 
     def _grow(self) -> None:
         new_cap = self.capacity * 2
@@ -218,14 +241,20 @@ class FlatIndex:
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        used = self._next_slot
+        # snapshot under the lock: a donated upsert racing the device->host
+        # pull would invalidate the buffer mid-read
+        with self._lock:
+            used = self._next_slot
+            vectors_h = np.asarray(self._vectors[:used], np.float32)
+            valid_h = np.asarray(self._valid[:used])
+            ids_h = self._ids[:used].copy()
         # int8 payloads persist as their raw quantized values (cast to f32
         # in the npz); the manifest dtype tells load() how to decode them.
         atomic_savez(
             d / f"{self.name}.npz",
-            vectors=np.asarray(self._vectors[:used], np.float32),
-            valid=np.asarray(self._valid[:used]),
-            ids=self._ids[:used],
+            vectors=vectors_h,
+            valid=valid_h,
+            ids=ids_h,
         )
         atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name,

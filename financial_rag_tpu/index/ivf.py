@@ -44,6 +44,13 @@ from financial_rag_tpu.utils import get_logger
 log = get_logger("index.ivf")
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _donated_scatter2(storage, valid, li, sl, payload, weights):
+    """In-place grouped-storage update (donation avoids the .at[].set
+    copy-on-write that would double peak HBM during ingest)."""
+    return storage.at[li, sl].set(payload), valid.at[li, sl].set(weights)
+
+
 # ----------------------------------------------------------------- k-means
 
 @partial(jax.jit, static_argnums=(1,))
@@ -201,14 +208,20 @@ class IVFIndex:
 
     # ------------------------------------------------------------- updates
 
-    def _assignments(self, vectors: np.ndarray, depth: int = 4) -> np.ndarray:
+    def _assignments(self, vectors: np.ndarray, depth: int = 4,
+                     chunk: int = 8192) -> np.ndarray:
         """Top-`depth` candidate lists per vector (for overflow fallback).
-        Device top-k: a host argsort over [batch, nlist] dominates ingest
-        at nlist >= 4096."""
-        sims = jnp.dot(jnp.asarray(vectors, jnp.float32), self.centroids.T,
-                       preferred_element_type=jnp.float32)
-        _, idx = jax.lax.top_k(sims, min(depth, self.nlist))
-        return np.asarray(idx)
+        Device top-k (a host argsort over [batch, nlist] dominates ingest at
+        nlist >= 4096), chunked so the [chunk, nlist] sims matrix stays
+        small next to 10M-scale storage."""
+        depth = min(depth, self.nlist)
+        outs = []
+        for lo in range(0, len(vectors), chunk):
+            sims = jnp.dot(jnp.asarray(vectors[lo: lo + chunk], jnp.float32),
+                           self.centroids.T, preferred_element_type=jnp.float32)
+            _, idx = jax.lax.top_k(sims, depth)
+            outs.append(np.asarray(idx))
+        return np.concatenate(outs, axis=0)
 
     def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
         if not self.is_trained:
@@ -244,13 +257,27 @@ class IVFIndex:
 
             from financial_rag_tpu.index.persist import encode_payload
 
-            li_a = jnp.asarray(np.asarray(lists, np.int32))
-            sl_a = jnp.asarray(np.asarray(slots, np.int32))
             payload, weights = encode_payload(vectors, self.dtype)
-            self._storage = self._storage.at[li_a, sl_a].set(payload)
+            li_np = np.asarray(lists, np.int32)
+            sl_np = np.asarray(slots, np.int32)
+            # donated scatter with power-of-two padding (duplicate last
+            # location; same-value duplicate set is idempotent): in-place
+            # update keeps peak HBM at 1x storage during ingest and the
+            # compile count logarithmic in batch size
+            n_rows = len(li_np)
+            npad = 1 << max(int(np.ceil(np.log2(max(n_rows, 1)))), 0)
+            if npad != n_rows:
+                pad = npad - n_rows
+                li_np = np.concatenate([li_np, np.full(pad, li_np[-1], np.int32)])
+                sl_np = np.concatenate([sl_np, np.full(pad, sl_np[-1], np.int32)])
+                payload = jnp.concatenate(
+                    [payload, jnp.broadcast_to(payload[-1], (pad, payload.shape[1]))])
+                weights = np.concatenate([weights, np.full(pad, weights[-1], np.float32)])
             # validity doubles as the per-row dequantization weight (1.0 for
             # float dtypes, max|v|/127 for int8 — ops/topk._weighted_mask)
-            self._valid = self._valid.at[li_a, sl_a].set(jnp.asarray(weights))
+            self._storage, self._valid = _donated_scatter2(
+                self._storage, self._valid, jnp.asarray(li_np), jnp.asarray(sl_np),
+                payload, jnp.asarray(weights))
 
     def _grow_and_place(self, li: int) -> Tuple[int, int]:
         new_ls = self.list_size * 2
@@ -364,7 +391,11 @@ class IVFIndex:
             if qa.shape[0] < chunk:
                 pad = chunk - qa.shape[0]
                 qa = np.pad(qa, ((0, pad), (0, 0)))
-            s, li, sl = run(jnp.asarray(qa), self._storage, self._valid, self.centroids)
+            # under the lock: a donated in-place upsert invalidates the old
+            # storage buffer mid-flight (see _donated_scatter2)
+            with self._lock:
+                s, li, sl = run(jnp.asarray(qa), self._storage, self._valid,
+                                self.centroids)
             s, li, sl = np.array(s), np.array(li), np.array(sl)
             if pad:
                 s, li, sl = s[:-pad], li[:-pad], sl[:-pad]
@@ -382,16 +413,19 @@ class IVFIndex:
         """Up to `n` live stored vectors (host f32), uniformly sampled.
         Fetches only the sampled rows (device gather), so it stays cheap at
         10M scale."""
+        rng = np.random.default_rng(seed)
         with self._lock:
             locs = list(self._loc_of.values())
-        rng = np.random.default_rng(seed)
-        if len(locs) > n:
-            sel = rng.choice(len(locs), size=n, replace=False)
-            locs = [locs[i] for i in sel]
-        la = jnp.asarray(np.asarray([l for l, _ in locs], np.int32))
-        sa = jnp.asarray(np.asarray([s for _, s in locs], np.int32))
-        raw = np.asarray(self._storage[la, sa], np.float32)
-        return raw * np.asarray(self._valid[la, sa], np.float32)[:, None]
+            if len(locs) > n:
+                sel = rng.choice(len(locs), size=n, replace=False)
+                locs = [locs[i] for i in sel]
+            la = jnp.asarray(np.asarray([l for l, _ in locs], np.int32))
+            sa = jnp.asarray(np.asarray([s for _, s in locs], np.int32))
+            # gather dispatched under the lock: a donated upsert racing this
+            # would invalidate the storage buffer mid-dispatch
+            raw = np.asarray(self._storage[la, sa], np.float32)
+            w = np.asarray(self._valid[la, sa], np.float32)
+        return raw * w[:, None]
 
     def tune_nprobe(self, **kwargs) -> dict:
         """Pick the smallest nprobe meeting a recall target; see
@@ -408,13 +442,20 @@ class IVFIndex:
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
+        # snapshot under the lock (donated upserts invalidate old buffers)
+        with self._lock:
+            cents_h = np.asarray(self.centroids, np.float32)
+            storage_h = np.asarray(self._storage, np.float32)
+            valid_h = np.asarray(self._valid)
+            ids_h = self._ids.copy()
+            fill_h = self._fill.copy()
         atomic_savez(
             d / f"{self.name}.npz",
-            centroids=np.asarray(self.centroids, np.float32),
-            storage=np.asarray(self._storage, np.float32),
-            valid=np.asarray(self._valid),
-            ids=self._ids,
-            fill=self._fill,
+            centroids=cents_h,
+            storage=storage_h,
+            valid=valid_h,
+            ids=ids_h,
+            fill=fill_h,
         )
         atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name, "dim": self.dim, "nlist": self.nlist,

@@ -92,6 +92,17 @@ def probe_scores(
     nlist, list_size, _ = storage.shape
     p = probes.shape[1]
 
+    # The whole (1, P, L) out block must fit in VMEM (double-buffered by
+    # the pipeline). Large-P calls (exhaustive tuning probes all nlist
+    # lists) are split along the probe axis; each slice re-reads only the
+    # tiny query block, so the tile stream cost is unchanged.
+    p_max = max(1, (2 * 1024 * 1024) // (4 * list_size))
+    if p > p_max:
+        return jnp.concatenate(
+            [probe_scores(queries, storage, weights, probes[:, i: i + p_max],
+                          interpret=interpret)
+             for i in range(0, p, p_max)], axis=1)
+
     # Mosaic block constraint: the last two dims of a block must be
     # (8, 128)-divisible or equal the array's. Hence: queries ride whole
     # (the kernel row-slices by program_id), weights gain a middle axis so

@@ -134,13 +134,17 @@ def main():
     ap.add_argument("--scales", nargs="*", type=int, default=[262_144, 1_048_576])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--nlist", type=int, default=0,
+                    help="0 = auto (index.ivf.recommended_nlist per scale)")
     ap.add_argument("--out", default="BENCH_SCALE.json")
     ap.add_argument("--skip-ivf", action="store_true")
     # bf16 at 10M needs ~8GB storage x2 during the upsert's copy-on-write
     # .at[].set — past a single v5e's 16GB HBM; int8-only fits (3.8GB x2)
     ap.add_argument("--dtypes", default="bf16,int8",
                     help="comma list from {bf16,int8}")
+    # 10M bf16 IVF storage (nlist*list_size*384*2B with 2x list slack) is
+    # ~16GB — past a v5e's HBM; int8 halves the probe stream AND fits
+    ap.add_argument("--ivf-dtype", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
 
     import os
@@ -229,13 +233,18 @@ def main():
             del idx
 
         if not args.skip_ivf:
-            ls = max((n // args.nlist) * 2, 256)
-            idx = IVFIndex(dim=384, nlist=args.nlist, list_size=ls, nprobe=64,
-                           name="ivf_scale")
+            from financial_rag_tpu.index.ivf import recommended_nlist
+
+            nlist = args.nlist or recommended_nlist(n)
+            ls = max((n // nlist) * 2, 256)
+            ivf_dt = jnp.int8 if args.ivf_dtype == "int8" else jnp.bfloat16
+            ivf_tag = "ivf_int8" if args.ivf_dtype == "int8" else "ivf"
+            idx = IVFIndex(dim=384, nlist=nlist, list_size=ls, nprobe=64,
+                           dtype=ivf_dt, name="ivf_scale")
             sample = x[rng.choice(n, size=min(n, 65_536), replace=False)]
             t0 = time.time()
             idx.train(sample, iters=8, seed=0)
-            log(f"ivf: trained {args.nlist} centroids on 65k sample in {time.time()-t0:.1f}s")
+            log(f"ivf: trained {nlist} centroids on 65k sample in {time.time()-t0:.1f}s")
             t0 = time.time()
             for lo in range(0, n, UPLOAD_ROWS):
                 idx.upsert(ids[lo: lo + UPLOAD_ROWS], x[lo: lo + UPLOAD_ROWS])
@@ -252,7 +261,7 @@ def main():
                 rec = float(np.mean([len(set(a) & set(b)) / args.k
                                      for a, b in zip(got_ids, flat_ids)]))
                 tuned = " TUNED" if nprobe == report["nprobe"] else ""
-                row = {"metric": f"ivf search QPS @ {n//1000}k chunks (nprobe={nprobe}{tuned}, nlist={args.nlist})",
+                row = {"metric": f"{ivf_tag} search QPS @ {n//1000}k chunks (nprobe={nprobe}{tuned}, nlist={nlist})",
                        "value": round(qps, 1), "unit": "qps",
                        "vs_baseline": round(qps / 50_000.0, 3),
                        "latency_ms_per_16q": round(dt * 1e3, 3),
