@@ -91,6 +91,66 @@ def bench_search(jax, jnp, on_tpu):
     return qps, dt, recall, n, nq, k
 
 
+def bench_ivf(jax, jnp, on_tpu):
+    """IVF (Pallas fused probe kernel) at 1M chunks with auto-tuned nprobe.
+
+    Clustered corpus (mixture on the sphere — text embeddings cluster;
+    uniform random corpora make IVF recall degenerate to nprobe/nlist by
+    construction). Recall is measured against the index's own exhaustive
+    sweep (nprobe=nlist), isolating the quantization loss nprobe controls.
+    """
+    from financial_rag_tpu.index.ivf import IVFIndex, recommended_nlist
+
+    n = 1_048_576 if on_tpu else 8_192
+    d = 384
+    rng = np.random.default_rng(7)
+
+    def on_sphere_noise(base, radius):
+        g = rng.standard_normal(base.shape).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        out = base + radius * g
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    c = max(n // 256, 64)
+    centers = rng.standard_normal((c, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = on_sphere_noise(centers[rng.integers(c, size=n)], 0.45)
+    q = on_sphere_noise(x[rng.choice(n, size=128, replace=False)], 0.35)
+
+    nlist = recommended_nlist(n)
+    idx = IVFIndex(dim=d, nlist=nlist, list_size=max((n // nlist) * 2, 256),
+                   nprobe=32, name="bench_ivf")
+    idx.train(x[rng.choice(n, size=min(n, 65_536), replace=False)], iters=8)
+    step = 65_536
+    for lo in range(0, n, step):
+        idx.upsert(np.arange(lo + 1, lo + 1 + len(x[lo:lo + step]), dtype=np.int64),
+                   x[lo: lo + step])
+    report = idx.tune_nprobe(k=10, target_recall=0.95, queries=q)
+    nprobe = report["nprobe"]
+    recall = next(s["recall"] for s in report["sweep"] if s["nprobe"] == nprobe)
+
+    idx.search(q[:16], 10, nprobe=nprobe)  # prime compiled fn
+    run = idx._search_fn[1]
+    qd = jnp.asarray(q[:16])
+    storage, valid, cents = idx._storage, idx._valid, idx.centroids
+
+    def make_loop(length):
+        def body(q0, st, va, ce):
+            def chained(q_carry, _):
+                s_, li, sl = run(q_carry, st, va, ce)
+                return q_carry + 0.0 * s_[0, 0], None
+            return jax.lax.scan(chained, q0, None, length=length)[0]
+        loop = jax.jit(body)
+        return lambda: jnp.sum(loop(qd, storage, valid, cents))
+
+    iters = (100, 500) if on_tpu else (3, 9)
+    dt = slope_time(make_loop, *iters)
+    qps = 16 / dt
+    log(f"ivf: {dt * 1e3:.3f} ms/16q @ {n//1000}k (nprobe={nprobe} tuned, "
+        f"nlist={nlist}) -> {qps:,.0f} QPS, recall@10={recall:.4f}")
+    return qps, dt, nprobe, nlist, recall, n
+
+
 def bench_encode(jax, jnp, on_tpu):
     from functools import partial
 
@@ -163,7 +223,15 @@ def bench_rerank(jax, jnp, on_tpu):
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # FRAG_PLATFORM=cpu forces the CPU backend for smoke runs (the TPU
+    # plugin force-registers itself and ignores a plain JAX_PLATFORMS)
+    plat = os.environ.get("FRAG_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from financial_rag_tpu.models.encoder import setup_compilation_cache
@@ -177,6 +245,16 @@ def main() -> None:
     cps, dt_enc, eb, es = bench_encode(jax, jnp, on_tpu)
     dt_rr, rb, rs = bench_rerank(jax, jnp, on_tpu)
     rr_ms = dt_rr * 1e3
+    ivf_row = None
+    try:
+        iqps, _, inprobe, inlist, irecall, in_ = bench_ivf(jax, jnp, on_tpu)
+        ivf_row = {"metric": f"ivf search QPS @ {in_ // 1000}k chunks "
+                   f"(nprobe={inprobe} tuned, nlist={inlist})",
+                   "value": round(iqps, 1), "unit": "qps",
+                   "vs_baseline": round(iqps / BASELINE_QPS, 3),
+                   "recall_at_10_vs_exhaustive": round(irecall, 4)}
+    except Exception as e:  # IVF is an extra metric; never sink the bench
+        log(f"ivf bench skipped: {e!r}")
 
     print(json.dumps({
         "metric": f"search QPS @ {n // 1000}k chunks (k={k}, batch={nq}, bf16 corpus)",
@@ -196,7 +274,7 @@ def main() -> None:
              f"{'pallas+fused bf16' if on_tpu else 'xla f32'})",
              "value": round(rr_ms, 2), "unit": "ms",
              "vs_baseline": round(TARGET_RERANK_MS / rr_ms, 3)},
-        ],
+        ] + ([ivf_row] if ivf_row else []),
     }))
 
 
