@@ -241,10 +241,13 @@ def main():
             ivf_tag = "ivf_int8" if args.ivf_dtype == "int8" else "ivf"
             idx = IVFIndex(dim=384, nlist=nlist, list_size=ls, nprobe=64,
                            dtype=ivf_dt, name="ivf_scale")
-            sample = x[rng.choice(n, size=min(n, 65_536), replace=False)]
+            # enough sample mass per centroid for k-means quality (16x),
+            # capped to keep the one-shot host->device transfer tunnel-safe
+            n_sample = min(n, max(65_536, 16 * nlist), 393_216)
+            sample = x[rng.choice(n, size=n_sample, replace=False)]
             t0 = time.time()
             idx.train(sample, iters=8, seed=0)
-            log(f"ivf: trained {nlist} centroids on 65k sample in {time.time()-t0:.1f}s")
+            log(f"ivf: trained {nlist} centroids on {n_sample//1000}k sample in {time.time()-t0:.1f}s")
             t0 = time.time()
             for lo in range(0, n, UPLOAD_ROWS):
                 idx.upsert(ids[lo: lo + UPLOAD_ROWS], x[lo: lo + UPLOAD_ROWS])
