@@ -190,6 +190,38 @@ class TestRuntime:
         out = rt.engine.query("credit note number")
         assert out["success"] and out["top_children_chunks"]
 
+    def test_ivf_int8_mode_with_persist(self, tmp_path, monkeypatch,
+                                        reference_fixture_json):
+        """INDEX_KIND=ivf + INDEX_DTYPE=int8 composes (per-vector dequant
+        weights in the IVF validity array), and survives a restart."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        monkeypatch.setenv("INDEX_KIND", "ivf")
+        monkeypatch.setenv("INDEX_DTYPE", "int8")
+        monkeypatch.setenv("IVF_NLIST", "4")
+        monkeypatch.setenv("IVF_NPROBE", "4")
+        rt = Runtime.build(data_dir=tmp_path)
+        from financial_rag_tpu.index import IVFIndex
+
+        assert all(isinstance(i, IVFIndex) and i.dtype == jnp.int8
+                   for i in rt.indexes.values())
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")  # auto-trains
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
+        q = rt.dual_encoder.encoders["baai"].encode(["credit note number"])
+        ids_before, scores_before = rt.indexes["baai"].search(q, 3)
+        rt.save_indexes(tmp_path)
+
+        rt2 = Runtime.build(data_dir=tmp_path)
+        assert all(i.dtype == jnp.int8 for i in rt2.indexes.values())
+        ids_after, scores_after = rt2.indexes["baai"].search(q, 3)
+        np.testing.assert_array_equal(ids_before, ids_after)
+        np.testing.assert_allclose(scores_before, scores_after, atol=2e-2)
+
     def test_processor_persists_indexes_for_new_process(self, tmp_path):
         """Server-side ingest must be visible to a fresh Runtime (found in
         verification: the reference's Chroma persisted implicitly; our
