@@ -100,22 +100,12 @@ def bench_ivf(jax, jnp, on_tpu):
     sweep (nprobe=nlist), isolating the quantization loss nprobe controls.
     """
     from financial_rag_tpu.index.ivf import IVFIndex, recommended_nlist
+    from financial_rag_tpu.utils.benchgen import clustered_corpus
 
     n = 1_048_576 if on_tpu else 8_192
     d = 384
     rng = np.random.default_rng(7)
-
-    def on_sphere_noise(base, radius):
-        g = rng.standard_normal(base.shape).astype(np.float32)
-        g /= np.linalg.norm(g, axis=1, keepdims=True)
-        out = base + radius * g
-        return out / np.linalg.norm(out, axis=1, keepdims=True)
-
-    c = max(n // 256, 64)
-    centers = rng.standard_normal((c, d)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    x = on_sphere_noise(centers[rng.integers(c, size=n)], 0.45)
-    q = on_sphere_noise(x[rng.choice(n, size=128, replace=False)], 0.35)
+    x, q = clustered_corpus(rng, n, d, 128)
 
     nlist = recommended_nlist(n)
     idx = IVFIndex(dim=d, nlist=nlist, list_size=max((n // nlist) * 2, 256),
@@ -130,7 +120,7 @@ def bench_ivf(jax, jnp, on_tpu):
     recall = next(s["recall"] for s in report["sweep"] if s["nprobe"] == nprobe)
 
     idx.search(q[:16], 10, nprobe=nprobe)  # prime compiled fn
-    run = idx._search_fn[1]
+    run = idx._search_fns[(10, nprobe, idx.list_size)]
     qd = jnp.asarray(q[:16])
     storage, valid, cents = idx._storage, idx._valid, idx.centroids
 

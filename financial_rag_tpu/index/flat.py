@@ -186,20 +186,15 @@ class FlatIndex:
     # ------------------------------------------------------------ internals
 
     def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
-        from financial_rag_tpu.index.persist import encode_payload
+        from financial_rag_tpu.index.persist import encode_payload, pad_pow2
 
+        if not len(slots):  # empty ingest batch (document with no children)
+            return
         payload, weights = encode_payload(vectors, self.dtype)
         # donated scatter: without donation the .at[].set copy-on-write
         # doubles peak HBM during ingest (fatal at 10M-chunk scale — the
-        # corpus alone is half of a v5e's 16GB). Batch padded to a power of
-        # two (duplicating the last slot; duplicate set of one value is
-        # idempotent) so compile count stays logarithmic, not per-size.
-        n = len(slots)
-        npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
-        if npad != n:
-            slots = np.concatenate([slots, np.full(npad - n, slots[-1], slots.dtype)])
-            payload = jnp.concatenate([payload, jnp.broadcast_to(payload[-1], (npad - n, payload.shape[1]))])
-            weights = np.concatenate([weights, np.full(npad - n, weights[-1], weights.dtype)])
+        # corpus alone is half of a v5e's 16GB)
+        slots, payload, weights = pad_pow2(slots, payload, weights)
         self._vectors, self._valid = _donated_scatter(
             self._vectors, self._valid, jnp.asarray(slots), payload,
             jnp.asarray(weights * valid))

@@ -190,7 +190,9 @@ class IVFIndex:
         self._fill = np.zeros(nlist, np.int32)              # next free slot per list
         self._loc_of: Dict[int, Tuple[int, int]] = {}       # child_id -> (list, slot)
         self._lock = threading.Lock()
-        self._search_fn = None
+        # keyed by (k, nprobe, list_size); storage rides as jit args, so
+        # mutations never require invalidation — only shape changes key anew
+        self._search_fns: Dict[Tuple, object] = {}
 
     def __len__(self) -> int:
         return len(self._loc_of)
@@ -204,7 +206,6 @@ class IVFIndex:
 
     def train(self, vectors: np.ndarray, iters: int = 12, seed: int = 0) -> None:
         self.centroids = jnp.asarray(kmeans(vectors, self.nlist, iters=iters, seed=seed))
-        self._search_fn = None
 
     # ------------------------------------------------------------- updates
 
@@ -224,6 +225,8 @@ class IVFIndex:
         return np.concatenate(outs, axis=0)
 
     def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+        if not len(ids):  # empty ingest batch (document with no children)
+            return
         if not self.is_trained:
             # auto-train on the first batch (k-means needs some corpus; a
             # small first batch still works — duplicated centroids are
@@ -255,26 +258,16 @@ class IVFIndex:
                 lists.append(li)
                 slots.append(sl)
 
-            from financial_rag_tpu.index.persist import encode_payload
+            from financial_rag_tpu.index.persist import encode_payload, pad_pow2
 
             payload, weights = encode_payload(vectors, self.dtype)
-            li_np = np.asarray(lists, np.int32)
-            sl_np = np.asarray(slots, np.int32)
-            # donated scatter with power-of-two padding (duplicate last
-            # location; same-value duplicate set is idempotent): in-place
-            # update keeps peak HBM at 1x storage during ingest and the
-            # compile count logarithmic in batch size
-            n_rows = len(li_np)
-            npad = 1 << max(int(np.ceil(np.log2(max(n_rows, 1)))), 0)
-            if npad != n_rows:
-                pad = npad - n_rows
-                li_np = np.concatenate([li_np, np.full(pad, li_np[-1], np.int32)])
-                sl_np = np.concatenate([sl_np, np.full(pad, sl_np[-1], np.int32)])
-                payload = jnp.concatenate(
-                    [payload, jnp.broadcast_to(payload[-1], (pad, payload.shape[1]))])
-                weights = np.concatenate([weights, np.full(pad, weights[-1], np.float32)])
-            # validity doubles as the per-row dequantization weight (1.0 for
-            # float dtypes, max|v|/127 for int8 — ops/topk._weighted_mask)
+            # donated in-place scatter (peak HBM 1x storage); power-of-two
+            # padding keeps the compile count logarithmic in batch size.
+            # validity doubles as the per-row dequantization weight (1.0
+            # for float dtypes, max|v|/127 for int8 — ops/topk._weighted_mask)
+            li_np, sl_np, payload, weights = pad_pow2(
+                np.asarray(lists, np.int32), np.asarray(slots, np.int32),
+                payload, weights)
             self._storage, self._valid = _donated_scatter2(
                 self._storage, self._valid, jnp.asarray(li_np), jnp.asarray(sl_np),
                 payload, jnp.asarray(weights))
@@ -287,7 +280,6 @@ class IVFIndex:
         self._valid = jnp.pad(self._valid, ((0, 0), (0, pad)))
         self._ids = np.pad(self._ids, ((0, 0), (0, pad)))
         self.list_size = new_ls
-        self._search_fn = None
         sl = int(self._fill[li])
         self._fill[li] += 1
         return li, sl
@@ -312,7 +304,6 @@ class IVFIndex:
             self._ids[:] = 0
             self._fill[:] = 0
             self._loc_of = {}
-            self._search_fn = None
         self.train(vecs, iters=iters, seed=seed)
         self.upsert(ids, vecs)
         log.info("IVF retrained on %d vectors (%d lists)", len(ids), self.nlist)
@@ -378,11 +369,6 @@ class IVFIndex:
         if not self._loc_of:
             return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
 
-        key = (top_k, nprobe, self.list_size)
-        if self._search_fn is None or self._search_fn[0] != key:
-            self._search_fn = (key, self._build_search(top_k, nprobe))
-        run = self._search_fn[1]
-
         out_ids = np.zeros((b, top_k), np.int64)
         out_scores = np.full((b, top_k), -np.inf, np.float32)
         for lo in range(0, b, chunk):
@@ -391,9 +377,18 @@ class IVFIndex:
             if qa.shape[0] < chunk:
                 pad = chunk - qa.shape[0]
                 qa = np.pad(qa, ((0, pad), (0, 0)))
-            # under the lock: a donated in-place upsert invalidates the old
-            # storage buffer mid-flight (see _donated_scatter2)
+            # fn selection AND dispatch under the lock: the compiled fn
+            # bakes in list_size (a concurrent _grow_and_place would
+            # invalidate it mid-flight), and a donated in-place upsert
+            # invalidates the old storage buffer (see _donated_scatter2).
+            # Keyed cache: the nprobe auto-tune sweep revisits many
+            # (k, nprobe) pairs — one compile each, ever.
             with self._lock:
+                key = (top_k, nprobe, self.list_size)
+                run = self._search_fns.get(key)
+                if run is None:
+                    run = self._build_search(top_k, nprobe)
+                    self._search_fns[key] = run
                 s, li, sl = run(jnp.asarray(qa), self._storage, self._valid,
                                 self.centroids)
             s, li, sl = np.array(s), np.array(li), np.array(sl)

@@ -52,6 +52,28 @@ def atomic_write_json(path: Path, obj) -> None:
     atomic_write_text(path, json.dumps(obj, indent=2))
 
 
+def pad_pow2(*arrays):
+    """Pad each array's leading dim to the next power of two by repeating
+    its last element. Used before donated index scatters: duplicate writes
+    of the same value are idempotent, and power-of-two batch shapes keep
+    the jit compile count logarithmic instead of per-batch-size. All
+    arrays must share the leading dim, which must be >= 1 (callers guard
+    the empty batch — padding has nothing to repeat)."""
+    n = arrays[0].shape[0]
+    npad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+    if npad == n:
+        return arrays
+    pad = npad - n
+    out = []
+    for a in arrays:
+        if isinstance(a, np.ndarray):
+            out.append(np.concatenate([a, np.broadcast_to(a[-1], (pad,) + a.shape[1:])]))
+        else:
+            out.append(jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1], (pad,) + a.shape[1:])]))
+    return tuple(out)
+
+
 def encode_payload(vectors_f32: np.ndarray, dtype):
     """Host float32 unit vectors -> (device payload, per-row weights f32).
 

@@ -113,7 +113,7 @@ def time_ivf(jax, jnp, idx, q, nprobe, iters=(20, 100)):
     """Scan-chained slope over IVFIndex's compiled probe-search (16-query
     chunks, its serving shape)."""
     idx.search(q[:16], 10, nprobe=nprobe)  # prime + build fn
-    run = idx._search_fn[1]
+    run = idx._search_fns[(10, nprobe, idx.list_size)]
     qd = jnp.asarray(q[:16])
     storage, valid, cents = idx._storage, idx._valid, idx.centroids
 
@@ -138,6 +138,7 @@ def main():
                     help="0 = auto (index.ivf.recommended_nlist per scale)")
     ap.add_argument("--out", default="BENCH_SCALE.json")
     ap.add_argument("--skip-ivf", action="store_true")
+    ap.add_argument("--skip-flat", action="store_true")
     # bf16 at 10M needs ~8GB storage x2 during the upsert's copy-on-write
     # .at[].set — past a single v5e's 16GB HBM; int8-only fits (3.8GB x2)
     ap.add_argument("--dtypes", default="bf16,int8",
@@ -171,38 +172,21 @@ def main():
     results = []
     for n in args.scales:
         log(f"=== scale {n} ===")
-        # clustered corpus (mixture on the sphere): uniform random vectors
-        # have NO cluster structure, which makes IVF recall degenerate to
-        # ~nprobe/nlist — text embeddings cluster, so a representative ANN
-        # benchmark must too. CRITICAL: noise must be scaled as a fraction
-        # of the UNIT vector, not per-coordinate — per-coordinate sigma s
-        # gives a noise vector of norm s*sqrt(384) (6.9 at s=0.35), which
-        # drowns the center and silently produces a uniform corpus (round-2
-        # postmortem: recall@10 measured 0.13 == nprobe/nlist degeneracy).
-        def on_sphere_noise(base, radius):
-            g = rng.standard_normal(base.shape).astype(np.float32)
-            g /= np.linalg.norm(g, axis=1, keepdims=True)
-            out = base + radius * g
-            return out / np.linalg.norm(out, axis=1, keepdims=True)
+        # clustered corpus + in-distribution queries: shared generator
+        # (financial_rag_tpu/utils/benchgen.py) — see its docstring for why
+        # uniform corpora are invalid for ANN benchmarks and the noise-
+        # scaling postmortem
+        from financial_rag_tpu.utils.benchgen import clustered_corpus
 
-        c = max(n // 256, 64)
-        centers = rng.standard_normal((c, 384)).astype(np.float32)
-        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-        assign = rng.integers(c, size=n)
-        # intra-cluster radius 0.45 -> cos(point, center) ~ 0.91 (typical
-        # for same-topic sentence embeddings)
-        x = on_sphere_noise(centers[assign], 0.45)
+        x, q = clustered_corpus(rng, n, 384, args.batch)
         ids = np.arange(1, n + 1, dtype=np.int64)
-        # queries: perturbations of corpus points (how real queries relate
-        # to their relevant documents); radius 0.35 -> cos ~ 0.94
-        qsrc = x[rng.choice(n, size=args.batch, replace=False)]
-        q = on_sphere_noise(qsrc, 0.35)
 
         all_configs = {"bf16": ("flat_bf16", dict(dtype=jnp.bfloat16)),
                        "int8": ("flat_int8", dict(dtype=jnp.int8))}
         configs = [all_configs[d.strip()] for d in args.dtypes.split(",") if d.strip()]
         flat_ids = None
-        for name, kw in configs:
+        recall_ref = "flat_bf16"   # becomes f32_oracle when computed on host
+        for name, kw in ([] if args.skip_flat else configs):
             idx = FlatIndex(dim=384, capacity=n, name=name, **kw)
             t0 = time.time()
             for lo in range(0, n, UPLOAD_ROWS):
@@ -220,19 +204,24 @@ def main():
                     # slices (a [B, N] score matrix at 10M won't fit)
                     log("computing host f32 oracle for recall reference...")
                     flat_ids = host_oracle_topk(q, x, ids, args.k)
+                    recall_ref = "f32_oracle"
                 rec = float(np.mean([len(set(a) & set(b)) / args.k
                                      for a, b in zip(got_ids, flat_ids)]))
             row = {"metric": f"{name} search QPS @ {n//1000}k chunks (k=24, batch={args.batch})",
                    "value": round(qps, 1), "unit": "qps",
                    "vs_baseline": round(qps / 50_000.0, 3),
                    "latency_ms_per_batch": round(dt * 1e3, 3),
-                   f"recall@{args.k}_vs_flat_bf16": round(rec, 4),
+                   f"recall@{args.k}_vs_{recall_ref}": round(rec, 4),
                    "n_chunks": n, "backend": backend}
             log(json.dumps(row))
             results.append(row)
             del idx
 
         if not args.skip_ivf:
+            if flat_ids is None:
+                log("computing host f32 oracle for recall reference...")
+                flat_ids = host_oracle_topk(q, x, ids, args.k)
+                recall_ref = "f32_oracle"
             from financial_rag_tpu.index.ivf import recommended_nlist
 
             nlist = args.nlist or recommended_nlist(n)
@@ -268,7 +257,7 @@ def main():
                        "value": round(qps, 1), "unit": "qps",
                        "vs_baseline": round(qps / 50_000.0, 3),
                        "latency_ms_per_16q": round(dt * 1e3, 3),
-                       f"recall@{args.k}_vs_flat_bf16": round(rec, 4),
+                       f"recall@{args.k}_vs_{recall_ref}": round(rec, 4),
                        "n_chunks": n, "backend": backend}
                 log(json.dumps(row))
                 results.append(row)

@@ -307,6 +307,22 @@ class TestIVFIndex:
         assert 100 not in set(c_ids.ravel().tolist())
 
 
+class TestEmptyBatches:
+    """Empty ingest batches (a document yielding parents but no children)
+    must be no-ops — the donated-scatter pad path indexed [-1] on them."""
+
+    def test_flat_empty_upsert(self):
+        idx = FlatIndex(dim=16, capacity=128)
+        idx.upsert([], np.zeros((0, 16), np.float32))
+        assert idx.count() == 0
+
+    def test_ivf_empty_upsert(self, rng):
+        idx = IVFIndex(dim=16, nlist=2, list_size=128, nprobe=2)
+        idx.train(_unit(rng, 64, 16), iters=2)
+        idx.upsert([], np.zeros((0, 16), np.float32))
+        assert idx.count() == 0
+
+
 class TestStores:
     def test_snowflake_unique_and_sortable(self):
         from financial_rag_tpu.store import SnowflakeGenerator
