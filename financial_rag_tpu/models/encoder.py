@@ -48,6 +48,8 @@ def setup_compilation_cache(path: str = None) -> None:
 class Encoder:
     """One checkpoint, batched encode to unit vectors."""
 
+    device_backed = True   # JAX forward: micro-batching coalesces dispatches
+
     def __init__(
         self,
         config: ModelConfig,

@@ -98,10 +98,14 @@ class Runtime:
         if cfg.serving.microbatch:
             from financial_rag_tpu.serving.batcher import BatchingEncoder
 
+            # wrap only device-backed encoders: batching exists to coalesce
+            # DEVICE dispatches; a host-side fallback encoder behind the
+            # batcher serializes all request threads onto one core
             encoders = {
-                name: BatchingEncoder(enc, max_texts=cfg.serving.microbatch_max,
-                                      max_wait_ms=cfg.serving.microbatch_wait_ms,
-                                      name=f"encode-{name}")
+                name: (BatchingEncoder(enc, max_texts=cfg.serving.microbatch_max,
+                                       max_wait_ms=cfg.serving.microbatch_wait_ms,
+                                       name=f"encode-{name}")
+                       if getattr(enc, "device_backed", False) else enc)
                 for name, enc in encoders.items()
             }
             log.info("micro-batching enabled: wait=%.1fms max=%d",
