@@ -184,7 +184,14 @@ class Runtime:
                 indexes[name] = FlatIndex.load(persist, name=coll, dtype=index_dtype)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
-                indexes[name] = FlatIndex(dim=dim, capacity=cfg.index.capacity,
+                # start at one kernel tile and double on demand (_grow):
+                # the search sweep streams the WHOLE allocation, so
+                # preallocating INDEX_CAPACITY (131k default) made every
+                # query on a small corpus pay a full-capacity sweep
+                # (profiled: 64ms/query host-side at 666 live chunks).
+                # Growth keeps allocation <= 2x corpus; compile count is
+                # logarithmic in corpus size (shapes round to TILE).
+                indexes[name] = FlatIndex(dim=dim, capacity=1024,
                                           dtype=index_dtype, name=coll)
 
         if cfg.serving.microbatch:
