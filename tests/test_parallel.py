@@ -172,6 +172,43 @@ class TestShardedIVF:
         for a, b in zip(got_ids, ref):
             assert set(a.tolist()) == set(b.tolist())
 
+    def test_int8_sharded_composition(self, eight_devices, tmp_path):
+        """ShardedIVFIndex(dtype=int8): per-shard int8 IVF partitions with
+        per-vector dequantization weights, save/load preserving dtype."""
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+        rng = np.random.default_rng(11)
+        d, n = 64, 600
+        centers = rng.standard_normal((8, d)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        x = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(1, n + 1, dtype=np.int64)
+
+        idx = ShardedIVFIndex(dim=d, n_shards=4, nlist=8, list_size=128,
+                              nprobe=8, dtype=jnp.int8, name="sivf_i8")
+        idx.train(x[:300], iters=4)
+        idx.upsert(ids, x)
+        assert all(s.dtype == jnp.int8 for s in idx.shards)
+
+        q = x[rng.integers(0, n, 6)]
+        got_ids, got_s = idx.search(q, 5)      # full probe -> exhaustive
+        s_ref = q @ x.T
+        order = np.argsort(-s_ref, axis=1, kind="stable")[:, :5]
+        recall = np.mean([len(set(a.tolist()) & set(ids[o].tolist())) / 5
+                          for a, o in zip(got_ids, order)])
+        assert recall >= 0.9, recall
+        assert np.all(got_s <= 1.05)           # dequantized cosine range
+
+        idx.save(tmp_path)
+        idx2 = ShardedIVFIndex.load(tmp_path, n_shards=4, name="sivf_i8")
+        assert all(s.dtype == jnp.int8 for s in idx2.shards)
+        b_ids, b_s = idx2.search(q, 5)
+        np.testing.assert_array_equal(got_ids, b_ids)
+        np.testing.assert_allclose(got_s, b_s, atol=1e-5)
+
     def test_delete_and_save_load(self, eight_devices, tmp_path):
         from financial_rag_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
