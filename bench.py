@@ -92,7 +92,7 @@ def bench_search(jax, jnp, on_tpu):
 
 
 def bench_ivf(jax, jnp, on_tpu):
-    """IVF (Pallas fused probe kernel) at 1M chunks with auto-tuned nprobe.
+    """IVF (Pallas fused probe kernel) at 262k chunks, auto-tuned nprobe.
 
     Clustered corpus (mixture on the sphere — text embeddings cluster;
     uniform random corpora make IVF recall degenerate to nprobe/nlist by
@@ -102,7 +102,9 @@ def bench_ivf(jax, jnp, on_tpu):
     from financial_rag_tpu.index.ivf import IVFIndex, recommended_nlist
     from financial_rag_tpu.utils.benchgen import clustered_corpus
 
-    n = 1_048_576 if on_tpu else 8_192
+    # 262k keeps the driver capture fast (~2 min: ingest + train + tune);
+    # the 1M/4M/10M scale evidence lives in BENCH_SCALE.json
+    n = 262_144 if on_tpu else 8_192
     d = 384
     rng = np.random.default_rng(7)
     x, q = clustered_corpus(rng, n, d, 128)
