@@ -48,6 +48,30 @@ BertParams = Dict[str, Any]
 NEG_INF = -1e9
 
 
+def resolve_attention_impl(seq_len: int | None = None, *,
+                           model_sharded: bool = False) -> str:
+    """One policy for attention_impl="auto" (used by the encoder service,
+    the cross-encoder reranker and the training factory):
+
+    - pallas only on TPU (interpret mode executes the grid in Python);
+    - pallas only at seq >= 256 when a seq length is known — at short
+      sequences the XLA fusion is already fast and the kernel's block
+      geometry pays overhead;
+    - xla when the model axis is sharded (tensor parallel): the Pallas
+      custom calls carry no GSPMD partitioning rule, so SPMD propagation
+      would replicate the model-sharded operands — silently defeating TP.
+      (A shard_map-wrapped per-device kernel over local heads is the
+      future fix; heads shard cleanly.)
+    """
+    import jax
+
+    if jax.default_backend() != "tpu" or model_sharded:
+        return "xla"
+    if seq_len is not None and seq_len < 256:
+        return "xla"
+    return "pallas"
+
+
 def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

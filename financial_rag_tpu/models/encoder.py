@@ -96,7 +96,9 @@ class Encoder:
         if fn is None:
             impl = self.attention_impl
             if impl == "auto":
-                impl = "pallas" if (self._on_tpu and seq_len >= 256) else "xla"
+                from financial_rag_tpu.models.bert import resolve_attention_impl
+
+                impl = resolve_attention_impl(seq_len)
             fn = jax.jit(partial(
                 bert_encode,
                 config=self.config,

@@ -64,7 +64,9 @@ class CrossEncoderModel:
         if fn is None:
             impl = self.attention_impl
             if impl == "auto":
-                impl = "pallas" if (self._on_tpu and seq_len >= 256) else "xla"
+                from financial_rag_tpu.models.bert import resolve_attention_impl
+
+                impl = resolve_attention_impl(seq_len)
             fn = jax.jit(partial(cross_encoder_forward, config=self.config,
                                  compute_dtype=self.compute_dtype,
                                  attention_impl=impl,

@@ -108,8 +108,12 @@ class Runtime:
                        if getattr(enc, "device_backed", False) else enc)
                 for name, enc in encoders.items()
             }
-            log.info("micro-batching enabled: wait=%.1fms max=%d",
-                     cfg.serving.microbatch_wait_ms, cfg.serving.microbatch_max)
+            n_wrapped = sum(isinstance(e, BatchingEncoder) for e in encoders.values())
+            log.info("micro-batching enabled: wait=%.1fms max=%d "
+                     "(%d/%d encoders wrapped; host-side fallback encoders "
+                     "are served unbatched)",
+                     cfg.serving.microbatch_wait_ms, cfg.serving.microbatch_max,
+                     n_wrapped, len(encoders))
         from financial_rag_tpu.utils.embed_cache import EmbeddingCache
 
         dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights,
@@ -184,14 +188,17 @@ class Runtime:
                 indexes[name] = FlatIndex.load(persist, name=coll, dtype=index_dtype)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
-                # start at one kernel tile and double on demand (_grow):
-                # the search sweep streams the WHOLE allocation, so
-                # preallocating INDEX_CAPACITY (131k default) made every
-                # query on a small corpus pay a full-capacity sweep
-                # (profiled: 64ms/query host-side at 666 live chunks).
-                # Growth keeps allocation <= 2x corpus; compile count is
-                # logarithmic in corpus size (shapes round to TILE).
-                indexes[name] = FlatIndex(dim=dim, capacity=1024,
+                # Default: start at one kernel tile and double on demand
+                # (_grow) — the search sweep streams the WHOLE allocation,
+                # so preallocating the 131k default made every query on a
+                # small corpus pay a full-capacity sweep (profiled:
+                # 64ms/query host-side at 666 live chunks). An EXPLICIT
+                # INDEX_CAPACITY still preallocates: growth doublings
+                # transiently hold old+new buffers (~3x a doubling step),
+                # which a large planned ingest should avoid up front.
+                cap = (cfg.index.capacity
+                       if os.environ.get("INDEX_CAPACITY") else 1024)
+                indexes[name] = FlatIndex(dim=dim, capacity=cap,
                                           dtype=index_dtype, name=coll)
 
         if cfg.serving.microbatch:

@@ -108,7 +108,12 @@ def make_train_step(
     and run at 202ms/step."""
     optimizer = optimizer or optax.adamw(1e-5)
     if attention_impl == "auto":
-        attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from financial_rag_tpu.models.bert import resolve_attention_impl
+
+        # tensor-parallel meshes fall back to XLA attention: the Pallas
+        # custom calls have no GSPMD partitioning rule (see helper)
+        attention_impl = resolve_attention_impl(
+            model_sharded=mesh.shape[model_axis] > 1)
 
     def loss_fn(params, batch):
         q_emb = bert_encode(params, batch["q_ids"], batch["q_mask"], config=config,
