@@ -162,6 +162,9 @@ class MeshConfig:
     shard_axis: str = "shard"   # corpus axis for index sharding
     model_axis: str = "model"   # tensor-parallel axis for training
     index_shards: int = field(default_factory=lambda: _env("INDEX_SHARDS", 0))  # 0 = all devices
+    # devices for data-parallel encode (ingest/query batches shard_map'd
+    # across a "data" mesh; 0/1 = single-device encode)
+    encode_dp: int = field(default_factory=lambda: _env("ENCODE_DP", 0))
 
 
 @dataclass

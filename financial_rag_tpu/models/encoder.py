@@ -62,6 +62,7 @@ class Encoder:
         compute_dtype=None,
         attention_impl: Optional[str] = None,
         use_pallas_pool: Optional[bool] = None,
+        mesh=None,
     ) -> None:
         self.config = config
         self.params = params
@@ -69,6 +70,11 @@ class Encoder:
         self.pooling = pooling
         self.batch_size = batch_size
         self.max_seq_len = max_seq_len
+        # data-parallel encode (SURVEY §2.5): a jax.sharding.Mesh with a
+        # "data" axis shards each token batch across its devices via
+        # shard_map (see _fn). Batch buckets (powers of two >= 8) divide
+        # any power-of-two mesh. None = single-device jit.
+        self.mesh = mesh
         on_tpu = jax.default_backend() == "tpu"
         self._on_tpu = on_tpu
         self.compute_dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
@@ -99,7 +105,7 @@ class Encoder:
                 from financial_rag_tpu.models.bert import resolve_attention_impl
 
                 impl = resolve_attention_impl(seq_len)
-            fn = jax.jit(partial(
+            raw = partial(
                 bert_encode,
                 config=self.config,
                 pooling=self.pooling,
@@ -107,7 +113,22 @@ class Encoder:
                 attention_impl=impl,
                 use_pallas_pool=self.use_pallas_pool,
                 use_fused_ffn=self._on_tpu,
-            ))
+            )
+            if self.mesh is not None:
+                # shard_map, not GSPMD auto-sharding: the Pallas custom
+                # calls carry no partitioning rule, so under plain jit the
+                # SPMD partitioner would replicate the batch; inside
+                # shard_map each device runs the identical kernels on its
+                # local batch shard (params replicated)
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.jit(shard_map(
+                    raw, mesh=self.mesh,
+                    in_specs=(P(), P("data", None), P("data", None)),
+                    out_specs=P("data", None), check_vma=False))
+            else:
+                fn = jax.jit(raw)
             self._fns[seq_len] = fn
         return fn
 

@@ -45,13 +45,34 @@ def _ivf_list_size(capacity: int, nlist: int) -> int:
     return min(max(capacity // max(nlist, 1) * 2, 128), 4096)
 
 
+def _encode_mesh(cfg: FrameworkConfig):
+    """Mesh for data-parallel encode (ENCODE_DP devices), or None."""
+    n = cfg.mesh.encode_dp
+    if n <= 1:
+        return None
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    avail = jax.devices()
+    use = 1
+    while use * 2 <= min(n, len(avail)):   # power of two: batch buckets
+        use *= 2                            # (8/32/...) must divide the mesh
+    if use != n:
+        log.warning("ENCODE_DP=%d -> using %d of %d devices", n, use, len(avail))
+    if use <= 1:
+        return None
+    return Mesh(np.array(avail[:use]), (cfg.mesh.data_axis,))
+
+
 def _build_encoder(name: str, path: Optional[str], pooling: str, cfg: FrameworkConfig):
     if path and Path(path).exists():
         try:
             enc = Encoder.from_pretrained(
                 path, pooling=pooling,
                 batch_size=cfg.encoders.encode_batch_size,
-                max_seq_len=cfg.encoders.max_seq_len)
+                max_seq_len=cfg.encoders.max_seq_len,
+                mesh=_encode_mesh(cfg))
             log.info("encoder %s: loaded checkpoint from %s", name, path)
             return enc
         except FileNotFoundError as e:

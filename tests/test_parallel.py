@@ -232,6 +232,30 @@ class TestShardedIVF:
 
 
 class TestTraining:
+    def test_data_parallel_encode_matches_single_device(self, eight_devices):
+        """SURVEY §2.5: encode batches shard_map'd over a data mesh must
+        produce the same embeddings as single-device encode."""
+        import jax
+        from jax.sharding import Mesh
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models.checkpoint import random_params
+        from financial_rag_tpu.models.encoder import Encoder
+
+        cfg = ModelConfig(name="tiny", hidden_size=64, num_layers=2, num_heads=4,
+                          intermediate_size=128, vocab_size=30522,
+                          max_position=512)
+        params = random_params(cfg, seed=0)
+        texts = [f"invoice amount {i} rupees gst lease rent" for i in range(13)]
+
+        single = Encoder(cfg, params, pooling="mean", batch_size=8, max_seq_len=128)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        dp = Encoder(cfg, params, pooling="mean", batch_size=8, max_seq_len=128,
+                     mesh=mesh)
+        a = single.encode(texts)
+        b = dp.encode(texts)
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_train_step_runs_and_descends(self, eight_devices):
         import optax
 
