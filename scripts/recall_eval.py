@@ -100,8 +100,15 @@ def main() -> None:
     from financial_rag_tpu.runtime import _build_encoder
     from financial_rag_tpu.config import FrameworkConfig
 
+    import os
+
     import jax
 
+    # FRAG_PLATFORM=cpu forces the CPU backend (the TPU plugin ignores a
+    # plain JAX_PLATFORMS); must run before backend initialization
+    plat = os.environ.get("FRAG_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     backend = jax.default_backend()
     cfg = FrameworkConfig.from_env()
     encoders = {
