@@ -32,7 +32,13 @@ def main() -> None:
     ap.add_argument("--oracle-sample", type=int, default=16)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    plat = os.environ.get("FRAG_PLATFORM")
+    if plat:  # force CPU for smoke runs (plugin ignores plain JAX_PLATFORMS)
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from financial_rag_tpu.models.encoder import setup_compilation_cache
