@@ -11,6 +11,7 @@ response schema so the existing React UI works unchanged.
 from __future__ import annotations
 
 import hashlib
+from concurrent.futures import ThreadPoolExecutor
 import time
 from typing import List, Optional
 
@@ -48,6 +49,15 @@ class RAGEngine:
         self.feedback_db = feedback_db
         self.tracer = tracer or QueryTracer(None)
         self.analyzer = QueryAnalyzer()
+        # single background worker for post-response persistence (result
+        # cache, feedback row) — profiled at ~4-6ms of SQLite commits per
+        # query when inline. flush_background() drains it (tests/shutdown).
+        self._bg = ThreadPoolExecutor(max_workers=1, thread_name_prefix="engine-bg")
+
+    def flush_background(self) -> None:
+        """Drain deferred persistence (trace files, cache/feedback writes)."""
+        self._bg.submit(lambda: None).result()
+        self.tracer.flush()
 
     # ----------------------------------------------------------- public API
 
@@ -67,7 +77,11 @@ class RAGEngine:
                                    enable_reranking=enable_reranking,
                                    session_id=session_id, start=start)
             if self.feedback_db is not None and result.get("success", True):
-                self.feedback_db.cache_put(cache_key, question, result)
+                # off the hot path: a repeat of the same query within the
+                # flush window recomputes (cheap) instead of every query
+                # paying the SQLite commit
+                self._bg.submit(self.feedback_db.cache_put,
+                                cache_key, question, dict(result))
             return result
         except Exception as e:  # noqa: BLE001 — API contract: errors become answers
             log.exception("RAG query failed")
@@ -239,7 +253,8 @@ class RAGEngine:
                           parents=parents, prompt=prompt, answer=answer,
                           timings={"total_s": processing_time})
         if self.feedback_db is not None:
-            self.feedback_db.store_feedback(
+            self._bg.submit(
+                self.feedback_db.store_feedback,
                 query=question, strategy=strategy, session_id=session_id,
                 response_time_s=processing_time, result_count=len(top_children))
         return result

@@ -70,7 +70,8 @@ class TestEngine:
             assert key in out, key
         assert "42,800" in out["answer"]  # NullLLM fallback shows context
         assert out["retrieval_info"]["queries"] == ["What is the rent for the second year?"]
-        # trace artifact written
+        # trace artifact written (asynchronously; flush to disk first)
+        engine.tracer.flush()
         traces = list((tmp_path / "test_logs").glob("query_trace_*.json"))
         assert traces
         trace = json.loads(traces[0].read_text())
@@ -81,6 +82,7 @@ class TestEngine:
         engine, *_ = stack
         q = "What is the GST amount?"
         first = engine.query(q)
+        engine.flush_background()   # cache write is deferred off the hot path
         second = engine.query(q)
         assert not first.get("cache_hit")
         assert second.get("cache_hit")
