@@ -32,9 +32,14 @@ class QueryTracer:
         self.trace_dir = Path(trace_dir) if trace_dir else None
         self._queue: Optional[queue.Queue] = None
         if self.trace_dir is not None and background:
+            import atexit
+
             self._queue = queue.Queue(maxsize=256)
             threading.Thread(target=self._drain, daemon=True,
                              name="query-tracer").start()
+            # short-lived processes (scripts, benches) must not lose
+            # queued traces — or race a tempdir teardown — at exit
+            atexit.register(self.flush)
 
     def _drain(self) -> None:
         while True:

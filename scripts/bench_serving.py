@@ -148,6 +148,7 @@ def main():
         with tempfile.TemporaryDirectory() as tmp:
             rt = build_runtime(tmp, mode, args.chunks, seed=0)
             r = drive(rt, args.threads, args.queries)
+            rt.engine.flush_background()   # deferred trace/cache writes
             stats[mode] = r
             label = "microbatch" if mode else "thread-per-request"
             row = {"metric": f"serving QPS ({label}, {args.threads} threads, "
