@@ -369,6 +369,11 @@ class IVFIndex:
         if not self._loc_of:
             return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
 
+        # pad small request batches to 8 rather than the full serving chunk:
+        # every padded row streams nprobe full tiles, so a 3-variant query
+        # padded to 16 would pay 5x its probe traffic
+        if b <= 8 < chunk:
+            chunk = 8
         out_ids = np.zeros((b, top_k), np.int64)
         out_scores = np.full((b, top_k), -np.inf, np.float32)
         for lo in range(0, b, chunk):
