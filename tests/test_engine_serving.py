@@ -242,6 +242,14 @@ class TestAPI:
         assert resp.status_code == 200
         body = resp.get_data(as_text=True)
         assert "search-stream" in body and "<html" in body
+        # experience-shape surfaces mirroring amber-ai-search (App.tsx):
+        # home -> loading -> results views, the filter triple, answer pane,
+        # reference chips, PDF modal
+        for marker in ('id="home"', 'id="loading"', 'id="resultsView"',
+                       'id="fileType"', 'id="timeRange"', 'id="dataSource"',
+                       'id="answer"', 'id="refs"', 'id="modalFrame"',
+                       "recent-documents", "/search"):
+            assert marker in body, marker
 
     def test_feedback_and_metrics(self, stack):
         engine, client, *_ = stack
