@@ -159,6 +159,11 @@ class Encoder:
 
         out = np.zeros((len(texts), self.dim), np.float32)
         pad_id = self.tokenizer.pad_id
+        # two passes: enqueue EVERY batch first (dispatch is async — the
+        # device pipelines them back-to-back and per-call latency, ~50ms
+        # through a tunneled chip, amortizes across the whole ingest
+        # sweep), then materialize results in order.
+        pending = []
         for seq_len, idxs in sorted(buckets.items()):
             for lo in range(0, len(idxs), self.batch_size):
                 batch_idx = idxs[lo: lo + self.batch_size]
@@ -174,7 +179,9 @@ class Encoder:
                 mask[n:, 0] = 1
                 with time_block(f"encoder.forward_s{seq_len}"):
                     emb = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask))
-                out[batch_idx] = np.asarray(emb[:n], np.float32)
+                pending.append((batch_idx, n, emb))
+        for batch_idx, n, emb in pending:
+            out[batch_idx] = np.asarray(emb[:n], np.float32)
         return out
 
     def encode_one(self, text: str) -> np.ndarray:

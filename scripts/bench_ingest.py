@@ -11,13 +11,13 @@ raw encoder ceiling to see the non-encode overhead.
 
 Writes one BENCH-style JSON line (BENCH_INGEST.json artifact).
 
-Measured on the tunneled v5e: 277 children/s/chip (200-child documents).
-Context: the raw dual-encoder ceiling is ~1.75k children/s (3.5k chunks/s
-halved for two models); the gap is ~50% tunnel dispatch latency (~50ms x
-4 device calls per document here, ~0 on direct-attached chips) plus the
-serial host stages (SQLite rows, chunk logs) — overlap of host work with
-device encode is the next ingest-path win if production profiling shows
-ingest-bound deployments.
+Measured on the tunneled v5e: 417 children/s/chip (200-child documents;
+was 277 before Encoder.encode switched to dispatch-all-then-materialize,
+which amortizes the tunnel's ~50ms per-call latency across the sweep).
+The raw dual-encoder ceiling is ~1.75k children/s (3.5k chunks/s halved
+for two models); the remaining gap is per-document serial host stages
+(SQLite rows, chunk logs) and the first dispatch's round trip — both
+shrink on direct-attached chips.
 """
 
 import json
