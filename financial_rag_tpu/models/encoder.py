@@ -146,10 +146,16 @@ class Encoder:
                 return b
         return self.batch_size
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """Encode texts -> [N, dim] float32 unit vectors (input order)."""
+    def encode_begin(self, texts: Sequence[str]):
+        """Tokenize and ENQUEUE every device batch; returns a zero-arg
+        materializer producing [N, dim] float32 unit vectors (input order).
+
+        Dispatch is async, so the device pipelines all batches back-to-back
+        and per-call latency (~50ms through a tunneled chip) amortizes
+        across the sweep; callers that drive several encoders can begin
+        them all before materializing any (DualEncoder.encode_all)."""
         if not len(texts):
-            return np.zeros((0, self.dim), np.float32)
+            return lambda: np.zeros((0, self.dim), np.float32)
 
         with time_block("encoder.tokenize"):
             seqs = [self.tokenizer.encode(t, max_len=self.max_seq_len) for t in texts]
@@ -157,12 +163,7 @@ class Encoder:
         for i, s in enumerate(seqs):
             buckets.setdefault(self._bucket(len(s)), []).append(i)
 
-        out = np.zeros((len(texts), self.dim), np.float32)
         pad_id = self.tokenizer.pad_id
-        # two passes: enqueue EVERY batch first (dispatch is async — the
-        # device pipelines them back-to-back and per-call latency, ~50ms
-        # through a tunneled chip, amortizes across the whole ingest
-        # sweep), then materialize results in order.
         pending = []
         for seq_len, idxs in sorted(buckets.items()):
             for lo in range(0, len(idxs), self.batch_size):
@@ -180,9 +181,18 @@ class Encoder:
                 with time_block(f"encoder.forward_s{seq_len}"):
                     emb = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask))
                 pending.append((batch_idx, n, emb))
-        for batch_idx, n, emb in pending:
-            out[batch_idx] = np.asarray(emb[:n], np.float32)
-        return out
+
+        def materialize() -> np.ndarray:
+            out = np.zeros((len(texts), self.dim), np.float32)
+            for batch_idx, n, emb in pending:
+                out[batch_idx] = np.asarray(emb[:n], np.float32)
+            return out
+
+        return materialize
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """Encode texts -> [N, dim] float32 unit vectors (input order)."""
+        return self.encode_begin(texts)()
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
@@ -281,7 +291,13 @@ class DualEncoder:
         """Per-model embeddings: {model_name: [N, D]}. use_cache routes
         through the md5 embedding cache (query side only)."""
         if not (use_cache and self.cache is not None):
-            return {name: enc.encode(texts) for name, enc in self.encoders.items()}
+            # begin every raw Encoder before materializing any, so both
+            # models' device batches pipeline back-to-back (wrapped/host
+            # encoders lack the split and run inline)
+            begun = {name: (enc.encode_begin(texts)
+                            if type(enc) is Encoder else enc.encode(texts))
+                     for name, enc in self.encoders.items()}
+            return {name: (v() if callable(v) else v) for name, v in begun.items()}
         out: Dict[str, np.ndarray] = {}
         for name, enc in self.encoders.items():
             vecs = [self.cache.get(name, t) for t in texts]

@@ -11,7 +11,7 @@ raw encoder ceiling to see the non-encode overhead.
 
 Writes one BENCH-style JSON line (BENCH_INGEST.json artifact).
 
-Measured on the tunneled v5e: 417 children/s/chip (200-child documents;
+Measured on the tunneled v5e: 433 children/s/chip (200-child documents;
 was 277 before Encoder.encode switched to dispatch-all-then-materialize,
 which amortizes the tunnel's ~50ms per-call latency across the sweep).
 The raw dual-encoder ceiling is ~1.75k children/s (3.5k chunks/s halved
