@@ -54,6 +54,15 @@ class RAGEngine:
         # query when inline. flush_background() drains it (tests/shutdown).
         self._bg = ThreadPoolExecutor(max_workers=1, thread_name_prefix="engine-bg")
 
+    def _submit_bg(self, fn, *args, **kwargs) -> None:
+        """Deferred persistence; failures are logged, never raised (they
+        were inside query()'s try/except before the deferral)."""
+        def _log_failure(fut):
+            e = fut.exception()
+            if e is not None:
+                log.warning("deferred persistence failed: %r", e)
+        self._bg.submit(fn, *args, **kwargs).add_done_callback(_log_failure)
+
     def flush_background(self) -> None:
         """Drain deferred persistence (trace files, cache/feedback writes)."""
         self._bg.submit(lambda: None).result()
@@ -80,7 +89,7 @@ class RAGEngine:
                 # off the hot path: a repeat of the same query within the
                 # flush window recomputes (cheap) instead of every query
                 # paying the SQLite commit
-                self._bg.submit(self.feedback_db.cache_put,
+                self._submit_bg(self.feedback_db.cache_put,
                                 cache_key, question, dict(result))
             return result
         except Exception as e:  # noqa: BLE001 — API contract: errors become answers
@@ -253,7 +262,7 @@ class RAGEngine:
                           parents=parents, prompt=prompt, answer=answer,
                           timings={"total_s": processing_time})
         if self.feedback_db is not None:
-            self._bg.submit(
+            self._submit_bg(
                 self.feedback_db.store_feedback,
                 query=question, strategy=strategy, session_id=session_id,
                 response_time_s=processing_time, result_count=len(top_children))

@@ -49,6 +49,11 @@ class Encoder:
     """One checkpoint, batched encode to unit vectors."""
 
     device_backed = True   # JAX forward: micro-batching coalesces dispatches
+    # class flag, NOT hasattr: BatchingEncoder delegates attribute lookups
+    # to its inner encoder, so hasattr(wrapper, "encode_begin") is True but
+    # calling it would bypass the cross-request batching queue; wrappers
+    # and subclasses opt in/out explicitly
+    supports_encode_begin = True
 
     def __init__(
         self,
@@ -295,7 +300,8 @@ class DualEncoder:
             # models' device batches pipeline back-to-back (wrapped/host
             # encoders lack the split and run inline)
             begun = {name: (enc.encode_begin(texts)
-                            if type(enc) is Encoder else enc.encode(texts))
+                            if getattr(type(enc), "supports_encode_begin", False)
+                            else enc.encode(texts))
                      for name, enc in self.encoders.items()}
             return {name: (v() if callable(v) else v) for name, v in begun.items()}
         out: Dict[str, np.ndarray] = {}

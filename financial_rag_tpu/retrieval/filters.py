@@ -1,4 +1,4 @@
-"""Pre-rerank result filters: fileType and timeRange.
+"""Pre-rerank result filters: fileType, timeRange and dataSource.
 
 Semantics of reference rag_backend.py:870-1042: fileType maps UI labels to
 extension sets (an empty mapping still filters everything out when the UI
@@ -22,6 +22,8 @@ TYPE_MAP = {
     "excel": {".xls", ".xlsx", ".csv"},
     "ppt": {".ppt", ".pptx"},
     "txt": {".txt", ".md"},
+    "image": {".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff", ".bmp"},
+    "json": {".json"},
     "html": {".html", ".htm"},
     "email": {".eml", ".msg"},
     "compressed": {".zip", ".tar", ".gz", ".rar", ".7z"},
@@ -33,6 +35,7 @@ _RELATIVE_WINDOWS_S = {
     "week": 7 * 24 * 3600,
     "month": 30 * 24 * 3600,
     "3months": 90 * 24 * 3600,
+    "6months": 182 * 24 * 3600,
     "year": 365 * 24 * 3600,
     "5years": 5 * 365 * 24 * 3600,
 }
@@ -58,9 +61,19 @@ class ResultFilter:
     max_ts: Optional[float] = None
     label: Optional[str] = None
 
+    # dataSource: every document this framework serves is attributed
+    # "Windows Shares" (serving/formatting.py) — same constant the
+    # reference UI's first data-source option uses. A dataSource filter
+    # excluding it therefore excludes everything; including it is a no-op.
+    # (The reference backend ignores dataSource entirely, which made its
+    # UI silently lie; here the filter is honored against the attribution
+    # the cards actually display.)
+    exclude_all: bool = False
+
     @property
     def active(self) -> bool:
-        return self.allowed_exts is not None or self.min_ts is not None or self.max_ts is not None
+        return (self.allowed_exts is not None or self.min_ts is not None
+                or self.max_ts is not None or self.exclude_all)
 
 
 def build_filter(filters: Optional[dict], now: Optional[float] = None) -> ResultFilter:
@@ -75,6 +88,10 @@ def build_filter(filters: Optional[dict], now: Optional[float] = None) -> Result
         for t in ft:
             exts |= TYPE_MAP.get(str(t).lower(), set())
         f.allowed_exts = exts  # possibly empty: filters everything (reference behavior)
+
+    ds = filters.get("dataSource")
+    if isinstance(ds, list) and ds and "Windows Shares" not in ds:
+        f.exclude_all = True
 
     tr = filters.get("timeRange") or {}
     if isinstance(tr, dict) and tr:
@@ -94,6 +111,8 @@ def build_filter(filters: Optional[dict], now: Optional[float] = None) -> Result
 def passes_filter(f: ResultFilter, source_path: Optional[str], source_mtime: Optional[float]) -> bool:
     if not f.active:
         return True
+    if f.exclude_all:
+        return False
     if f.allowed_exts is not None:
         if not source_path:
             return False

@@ -55,9 +55,11 @@ def _encode_mesh(cfg: FrameworkConfig):
     from jax.sharding import Mesh
 
     avail = jax.devices()
+    # power of two, capped at 8: the smallest encode batch bucket is 8
+    # rows and shard_map requires the batch to divide the mesh evenly
     use = 1
-    while use * 2 <= min(n, len(avail)):   # power of two: batch buckets
-        use *= 2                            # (8/32/...) must divide the mesh
+    while use * 2 <= min(n, len(avail), 8):
+        use *= 2
     if use != n:
         log.warning("ENCODE_DP=%d -> using %d of %d devices", n, use, len(avail))
     if use <= 1:

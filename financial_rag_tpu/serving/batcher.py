@@ -145,6 +145,10 @@ class _Delegate:
 
 
 class BatchingEncoder(_Delegate):
+    # block delegation of the raw dispatch-split API: callers must go
+    # through the batching queue (see Encoder.supports_encode_begin)
+    supports_encode_begin = False
+
     """Wraps an encoder's ``encode``: concurrent callers' text lists are
     concatenated into one length-bucketed forward pass."""
 

@@ -28,26 +28,41 @@ class QueryTracer:
     backs up (disk stall), writes fall back to inline so traces are never
     silently dropped."""
 
+    # ONE module-shared writer thread (lazily started): per-instance
+    # threads + atexit handlers would leak a pinned daemon thread per
+    # Runtime built (test suites build many)
+    _shared_queue: Optional[queue.Queue] = None
+    _shared_lock = threading.Lock()
+
     def __init__(self, trace_dir: Optional[str | Path], *, background: bool = True) -> None:
         self.trace_dir = Path(trace_dir) if trace_dir else None
-        self._queue: Optional[queue.Queue] = None
-        if self.trace_dir is not None and background:
-            import atexit
+        self._background = background and self.trace_dir is not None
 
-            self._queue = queue.Queue(maxsize=256)
-            threading.Thread(target=self._drain, daemon=True,
-                             name="query-tracer").start()
-            # short-lived processes (scripts, benches) must not lose
-            # queued traces — or race a tempdir teardown — at exit
-            atexit.register(self.flush)
+    @classmethod
+    def _writer_queue(cls) -> queue.Queue:
+        with cls._shared_lock:
+            if cls._shared_queue is None:
+                import atexit
 
-    def _drain(self) -> None:
+                cls._shared_queue = queue.Queue(maxsize=256)
+                threading.Thread(target=cls._drain, daemon=True,
+                                 name="query-tracer").start()
+                # short-lived processes (scripts, benches) must not lose
+                # queued traces — or race a tempdir teardown — at exit
+                atexit.register(cls._flush_shared)
+            return cls._shared_queue
+
+    @classmethod
+    def _drain(cls) -> None:
+        q = cls._shared_queue
         while True:
-            path, payload = self._queue.get()
+            path, payload = q.get()
             try:
-                self._write_file(path, payload)
+                cls._write_file(path, payload)
+            except Exception:  # noqa: BLE001 — a dead drain thread would
+                log.exception("query-trace write failed")  # deadlock flush()
             finally:
-                self._queue.task_done()
+                q.task_done()
 
     @staticmethod
     def _write_file(path: Path, payload: dict) -> None:
@@ -56,10 +71,14 @@ class QueryTracer:
         except OSError as e:
             log.warning("failed to write query trace: %s", e)
 
+    @classmethod
+    def _flush_shared(cls) -> None:
+        if cls._shared_queue is not None:
+            cls._shared_queue.join()
+
     def flush(self) -> None:
         """Block until all queued traces are on disk."""
-        if self._queue is not None:
-            self._queue.join()
+        self._flush_shared()
 
     def write(self, *, question: str, queries, children, parents, prompt: str,
               answer: str, timings: Optional[dict] = None, extra: Optional[dict] = None) -> Optional[Path]:
@@ -92,9 +111,9 @@ class QueryTracer:
             "timings": timings or {},
             **(extra or {}),
         })
-        if self._queue is not None:
+        if self._background:
             try:
-                self._queue.put_nowait((path, payload))
+                self._writer_queue().put_nowait((path, payload))
                 return path
             except queue.Full:
                 pass  # disk can't keep up: write inline (backpressure)

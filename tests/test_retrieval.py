@@ -129,6 +129,27 @@ class TestFilters:
         f = build_filter({"timeRange": {"type": "all"}})
         assert not f.active
 
+    def test_every_ui_option_is_honored(self):
+        # every option the built-in UI offers must have server semantics
+        # (review finding: 6months/image/json/dataSource were silent no-ops)
+        now = 1_000_000_000.0
+        f = build_filter({"timeRange": {"type": "6months"}}, now=now)
+        assert f.active and not passes_filter(f, None, now - 200 * 86400)
+        f = build_filter({"fileType": ["image"]})
+        assert passes_filter(f, "/d/scan.JPG", None)
+        assert not passes_filter(f, "/d/a.pdf", None)
+        f = build_filter({"fileType": ["json"]})
+        assert passes_filter(f, "/d/cn22-23.json", None)
+
+    def test_datasource_matches_card_attribution(self):
+        # documents are attributed "Windows Shares" (serving/formatting.py);
+        # the filter is honored against that attribution
+        f = build_filter({"dataSource": ["Windows Shares", "SharePoint"]})
+        assert passes_filter(f, "/d/a.pdf", None)
+        f = build_filter({"dataSource": ["SharePoint"]})
+        assert f.active
+        assert not passes_filter(f, "/d/a.pdf", None)
+
 
 class TestAdaptiveNormalize:
     def test_all_positive_max_norm(self):
