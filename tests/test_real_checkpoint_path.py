@@ -154,6 +154,29 @@ class TestOnDiskCheckpointPath:
         # field whitelist exposes final_rerank_score, engine.py _ui_children)
         assert out["top_children_chunks"][0]["final_rerank_score"] is not None
 
+    def test_runtime_encode_dp_mesh_from_env(self, model_dirs, tmp_path,
+                                             monkeypatch,
+                                             reference_fixture_json):
+        """ENCODE_DP=8 wires a data mesh into the real-checkpoint encoders;
+        ingest + query run data-parallel on the 8-device test mesh."""
+        from financial_rag_tpu.models.encoder import Encoder
+        from financial_rag_tpu.runtime import Runtime
+
+        base, _ = model_dirs
+        monkeypatch.setenv("EMBED_BAAI_PATH", str(base / "baai"))
+        monkeypatch.setenv("EMBED_GTE_PATH", str(base / "gte"))
+        monkeypatch.setenv("ENCODE_DP", "8")
+        rt = Runtime.build(data_dir=tmp_path)
+        for e in rt.dual_encoder.encoders.values():
+            assert isinstance(e, Encoder) and e.mesh is not None
+            assert e.mesh.shape["data"] == 8
+
+        src = tmp_path / "cn.json"
+        src.write_text(json.dumps(reference_fixture_json))
+        rt.pipeline.ingest_extracted_json(src, "cn22-23")
+        out = rt.engine.query("credit note number")
+        assert out["success"] and out["top_children_chunks"]
+
     def test_lfs_stub_still_falls_back(self, tmp_path, monkeypatch):
         """The reference's stub files keep routing to the deterministic
         fallback (graceful degradation, not a crash)."""
