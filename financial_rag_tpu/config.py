@@ -203,10 +203,13 @@ class ServingConfig:
     # feedback db, reference feedback_database.py:673-694); 0 disables
     sysperf_interval_s: float = field(default_factory=lambda: _env("SYSPERF_INTERVAL_S", 60.0))
     # cross-request micro-batching of encode + index sweeps (serving/batcher.py):
-    # concurrent requests coalesce into single device calls. A lone request
-    # pays at most microbatch_wait_ms extra latency.
+    # concurrent requests coalesce into single device calls. Batching is
+    # contention-based (whatever queued while the previous fused call was in
+    # flight forms the next batch); microbatch_wait_ms=0 means NO artificial
+    # gather wait — the timed wait was a measured regression (round 2:
+    # 0.589x QPS, p95 4.3x) and exists only as an opt-in knob.
     microbatch: bool = field(default_factory=lambda: _env("SERVE_MICROBATCH", False))
-    microbatch_wait_ms: float = field(default_factory=lambda: _env("MICROBATCH_WAIT_MS", 2.0))
+    microbatch_wait_ms: float = field(default_factory=lambda: _env("MICROBATCH_WAIT_MS", 0.0))
     microbatch_max: int = field(default_factory=lambda: _env("MICROBATCH_MAX", 64))
 
 

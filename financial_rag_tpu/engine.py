@@ -11,7 +11,6 @@ response schema so the existing React UI works unchanged.
 from __future__ import annotations
 
 import hashlib
-from concurrent.futures import ThreadPoolExecutor
 import time
 from typing import List, Optional
 
@@ -23,7 +22,7 @@ from financial_rag_tpu.retrieval.hybrid import HybridRetriever
 from financial_rag_tpu.retrieval.rerank import CrossEncoderReranker
 from financial_rag_tpu.store import ParentStore
 from financial_rag_tpu.store.feedback_db import FeedbackDatabase
-from financial_rag_tpu.utils import QueryAnalyzer, get_logger, safe_mean
+from financial_rag_tpu.utils import QueryAnalyzer, get_logger, safe_mean, time_block
 from financial_rag_tpu.utils.tracing import QueryTracer
 
 log = get_logger("engine")
@@ -49,23 +48,16 @@ class RAGEngine:
         self.feedback_db = feedback_db
         self.tracer = tracer or QueryTracer(None)
         self.analyzer = QueryAnalyzer()
-        # single background worker for post-response persistence (result
-        # cache, feedback row) — profiled at ~4-6ms of SQLite commits per
-        # query when inline. flush_background() drains it (tests/shutdown).
-        self._bg = ThreadPoolExecutor(max_workers=1, thread_name_prefix="engine-bg")
-
-    def _submit_bg(self, fn, *args, **kwargs) -> None:
-        """Deferred persistence; failures are logged, never raised (they
-        were inside query()'s try/except before the deferral)."""
-        def _log_failure(fut):
-            e = fut.exception()
-            if e is not None:
-                log.warning("deferred persistence failed: %r", e)
-        self._bg.submit(fn, *args, **kwargs).add_done_callback(_log_failure)
 
     def flush_background(self) -> None:
-        """Drain deferred persistence (trace files, cache/feedback writes)."""
-        self._bg.submit(lambda: None).result()
+        """Drain deferred persistence (trace files, cache/feedback writes).
+
+        Post-response persistence is deferred-and-batched inside its owners
+        (FeedbackDatabase.defer_* writer thread, QueryTracer drain thread) —
+        profiled at ~4-6ms of SQLite commits + JSON encodes per query when
+        inline. Tests and shutdown call this to make everything durable."""
+        if self.feedback_db is not None:
+            self.feedback_db.flush_writes()
         self.tracer.flush()
 
     # ----------------------------------------------------------- public API
@@ -77,7 +69,8 @@ class RAGEngine:
         if self.feedback_db is not None:
             cache_key = hashlib.md5(
                 f"{question}|{topn}|{filters}|{enable_reranking}".encode()).hexdigest()
-            cached = self.feedback_db.cache_get(cache_key)
+            with time_block("engine.cache_get"):
+                cached = self.feedback_db.cache_get(cache_key)
             if cached is not None:
                 cached["cache_hit"] = True
                 return cached
@@ -86,11 +79,9 @@ class RAGEngine:
                                    enable_reranking=enable_reranking,
                                    session_id=session_id, start=start)
             if self.feedback_db is not None and result.get("success", True):
-                # off the hot path: a repeat of the same query within the
-                # flush window recomputes (cheap) instead of every query
-                # paying the SQLite commit
-                self._submit_bg(self.feedback_db.cache_put,
-                                cache_key, question, dict(result))
+                # deferred batch write (~1us): the writer thread commits it
+                # with everything else pending in one transaction
+                self.feedback_db.defer_cache_put(cache_key, question, dict(result))
             return result
         except Exception as e:  # noqa: BLE001 — API contract: errors become answers
             log.exception("RAG query failed")
@@ -154,7 +145,9 @@ class RAGEngine:
                 return {"no_match": self._no_match_response(question, f, start)}
 
         if enable_reranking and self.cfg.rerank.enabled:
-            reranked = self.reranker.rerank_chunks(question, child_chunks, strategy=strategy)
+            with time_block("engine.rerank"):
+                reranked = self.reranker.rerank_chunks(question, child_chunks,
+                                                       strategy=strategy)
         else:
             reranked = sorted(child_chunks,
                               key=lambda c: c.get("retrieval_score", 0.0), reverse=True)
@@ -207,7 +200,8 @@ class RAGEngine:
             pid = c.get("parent_id") or child_parent.get(c.get("child_id"))
             if pid is not None and pid not in parent_ids:
                 parent_ids.append(pid)
-        parents = self.parent_store.get_parents_by_ids(parent_ids[:top_parents_n])
+        with time_block("engine.parents"):
+            parents = self.parent_store.get_parents_by_ids(parent_ids[:top_parents_n])
 
         prompt = build_answer_prompt(queries[0] if queries else question, parents,
                                      related_queries=queries[1:])
@@ -262,8 +256,7 @@ class RAGEngine:
                           parents=parents, prompt=prompt, answer=answer,
                           timings={"total_s": processing_time})
         if self.feedback_db is not None:
-            self._submit_bg(
-                self.feedback_db.store_feedback,
+            self.feedback_db.defer_feedback(
                 query=question, strategy=strategy, session_id=session_id,
                 response_time_s=processing_time, result_count=len(top_children))
         return result

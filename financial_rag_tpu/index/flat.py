@@ -159,29 +159,58 @@ class FlatIndex:
             log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
             return reclaimed
 
-    def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched search. queries [B, D] -> (child_ids [B, k] int64,
-        scores [B, k] f32). Empty slots never surface (score < -100 filtered
-        to id 0 / score -inf)."""
-        queries = np.asarray(queries, np.float32)
+    # a class-level flag (not hasattr): delegating wrappers (BatchingIndex)
+    # forward attribute lookups, so hasattr would lie through them
+    supports_search_begin = True
+
+    def search_begin(self, queries: np.ndarray, top_k: int):
+        """Dispatch a batched search WITHOUT materializing: returns a
+        :class:`SearchPending` whose ``get()`` (or ``pending.collect`` over
+        several indexes) pulls (child_ids [B, k] int64, scores [B, k] f32)
+        in ONE device transfer. Through a tunneled chip each host pull is a
+        full RPC round trip, so the dual-index query path goes 4 round
+        trips -> 1 (see index/pending.py).
+
+        ``queries`` may be a host array or an already-on-device [B, D]
+        array (e.g. a pending encoder output chained without a host
+        round trip)."""
+        from financial_rag_tpu.index.pending import SearchPending, ready
+
+        is_device = isinstance(queries, jax.Array)
+        if not is_device:
+            queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         b = queries.shape[0]
         if not self._slot_of:
-            return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
+            return ready(np.zeros((b, top_k), np.int64),
+                         np.full((b, top_k), -np.inf, np.float32))
 
         # under the lock: a donated in-place upsert invalidates the old
         # storage buffer, so a search racing it could dispatch a deleted
         # array (pre-donation it merely read stale data)
         with self._lock:
-            scores, slots = self._dispatch(jnp.asarray(queries), top_k)
-        scores = np.array(scores)
-        slots = np.array(slots)
-        ids = np.where(slots >= 0, self._ids[np.maximum(slots, 0)], 0)
-        bad = scores < -100.0
-        ids[bad] = 0
-        scores[bad] = -np.inf
-        return ids.astype(np.int64), scores
+            scores, slots = self._dispatch(
+                queries if is_device else jnp.asarray(queries), top_k)
+
+        def finish(host):
+            scores_h, slots_h = host
+            scores_h = np.asarray(scores_h)
+            slots_h = np.asarray(slots_h)
+            ids = np.where(slots_h >= 0, self._ids[np.maximum(slots_h, 0)], 0)
+            bad = scores_h < -100.0
+            ids[bad] = 0
+            scores_h = scores_h.copy()
+            scores_h[bad] = -np.inf
+            return ids.astype(np.int64), scores_h
+
+        return SearchPending((scores, slots), finish)
+
+    def search(self, queries: np.ndarray, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched search. queries [B, D] -> (child_ids [B, k] int64,
+        scores [B, k] f32). Empty slots never surface (score < -100 filtered
+        to id 0 / score -inf)."""
+        return self.search_begin(queries, top_k).get()
 
     # ------------------------------------------------------------ internals
 

@@ -304,12 +304,28 @@ class DualEncoder:
                             else enc.encode(texts))
                      for name, enc in self.encoders.items()}
             return {name: (v() if callable(v) else v) for name, v in begun.items()}
-        out: Dict[str, np.ndarray] = {}
+        # cache path: find each encoder's misses first, BEGIN all misses,
+        # then materialize — same dispatch overlap as the uncached branch
+        # (serially encoding per model re-pays a device round trip each)
+        vecs_by: Dict[str, list] = {}
+        missing_by: Dict[str, list] = {}
+        begun2: Dict[str, object] = {}
         for name, enc in self.encoders.items():
             vecs = [self.cache.get(name, t) for t in texts]
             missing = [i for i, v in enumerate(vecs) if v is None]
+            vecs_by[name] = vecs
+            missing_by[name] = missing
             if missing:
-                fresh = enc.encode([texts[i] for i in missing])
+                miss_texts = [texts[i] for i in missing]
+                begun2[name] = (enc.encode_begin(miss_texts)
+                                if getattr(type(enc), "supports_encode_begin", False)
+                                else enc.encode(miss_texts))
+        out: Dict[str, np.ndarray] = {}
+        for name in self.encoders:
+            vecs, missing = vecs_by[name], missing_by[name]
+            if missing:
+                v = begun2[name]
+                fresh = v() if callable(v) else v
                 for row, i in enumerate(missing):
                     vecs[i] = fresh[row]
                     self.cache.put(name, texts[i], fresh[row])

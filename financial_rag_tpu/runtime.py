@@ -224,15 +224,17 @@ class Runtime:
                 indexes[name] = FlatIndex(dim=dim, capacity=cap,
                                           dtype=index_dtype, name=coll)
 
+        # cross-request sweep batching happens at the HYBRID level (one
+        # MultiIndexBatcher over all per-model indexes = one fused RPC per
+        # batch across BOTH models), not by wrapping each index — see
+        # sweep_batcher below. Indexes stay raw for ingest/admin callers.
+        sweep_batcher = None
         if cfg.serving.microbatch:
-            from financial_rag_tpu.serving.batcher import BatchingIndex
+            from financial_rag_tpu.serving.batcher import MultiIndexBatcher
 
-            indexes = {
-                name: BatchingIndex(idx, max_queries=cfg.serving.microbatch_max,
-                                    max_wait_ms=cfg.serving.microbatch_wait_ms,
-                                    name=f"search-{name}")
-                for name, idx in indexes.items()
-            }
+            sweep_batcher = MultiIndexBatcher(
+                indexes, max_queries=cfg.serving.microbatch_max,
+                max_wait_ms=cfg.serving.microbatch_wait_ms)
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")
@@ -255,7 +257,8 @@ class Runtime:
             chunk_logs_dir=data_dir / cfg.ingest.chunk_logs_dir,
             chunk_context_enabled=cfg.llm.chunk_context_enabled)
         hybrid = HybridRetriever(dual, indexes, child_meta,
-                                 fusion_cfg=cfg.fusion, retrieval_cfg=cfg.retrieval, llm=llm)
+                                 fusion_cfg=cfg.fusion, retrieval_cfg=cfg.retrieval,
+                                 llm=llm, sweep_batcher=sweep_batcher)
         dense = ParentContextRetriever(dual, indexes, parent_store, child_meta,
                                        rrf_k=cfg.fusion.rrf_k)
         engine = RAGEngine(hybrid, parent_store, reranker, llm, config=cfg,

@@ -2,30 +2,43 @@
 
 The TPU device is a batch machine: one 32-row encode or one 64-query index
 sweep costs nearly the same as a 3-row one (the corpus stream / weight
-traffic dominates). The reference serves each request in its own thread
-with its own batch-1 device calls (reference api_server.py:857-882,
-local_embedder.py:160-184); under concurrency that serializes N small
-dispatches. Here concurrent requests transparently coalesce:
+traffic dominates), and through a tunneled chip every host materialization
+is a full RPC round trip (~27ms measured). The reference serves each
+request in its own thread with its own batch-1 device calls (reference
+api_server.py:857-882, local_embedder.py:160-184); under concurrency that
+serializes N small dispatches. Here concurrent requests transparently
+coalesce:
 
-- :class:`MicroBatcher` — generic queue + worker that gathers submissions
-  for up to ``max_wait_ms`` (or until ``max_items`` rows), runs ONE fused
-  call, and scatters results back to the waiting request threads.
-- :class:`BatchingEncoder` — wraps ``Encoder.encode``: concurrent text
-  lists concatenate into one length-bucketed forward.
-- :class:`BatchingIndex` — wraps ``index.search``: concurrent query
-  matrices with the same (top_k, kwargs) concatenate into one sweep.
+- :class:`MicroBatcher` — queue + dispatcher worker with CONTENTION-BASED
+  batching: the first queued submission is taken immediately (no timed
+  wait), together with everything else queued at that instant; submissions
+  arriving while a fused call is in flight form the next batch. A lone
+  request therefore pays only a thread handoff, and batch size adapts
+  itself to load — the policy can never lose to thread-per-request by
+  waiting (the round-2 regression: a 2ms timed gather sleep inflated p95
+  4.3x under GIL contention).
+- Pipelined dispatch: when the wrapped call supports a dispatch/
+  materialize split (``search_begin`` / ``encode_begin``), the dispatcher
+  issues the fused device call and hands materialization to a small
+  finisher pool, then immediately gathers the next batch — several RPC
+  round trips overlap in flight instead of serializing behind one worker
+  loop (measured: concurrent device_gets do overlap; sequential ones do
+  not).
+- :class:`BatchingEncoder` / :class:`BatchingIndex` — wrappers exposing
+  the same non-blocking ``encode_begin`` / ``search_begin`` surfaces as
+  the raw objects, so the hybrid query path submits to ALL batchers
+  before waiting on any.
 
-Enabled with SERVE_MICROBATCH=1 (config.serving.microbatch); a lone request
-pays at most ``max_wait_ms`` extra latency, concurrent ones win back a full
-device dispatch each. Mutating / persistence calls pass through unbatched.
+Enabled with SERVE_MICROBATCH=1 (config.serving.microbatch). Mutating /
+persistence calls pass through unbatched.
 """
 
 from __future__ import annotations
 
 import threading
-import time
+from concurrent.futures import ThreadPoolExecutor
 from queue import Empty, Queue
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -40,47 +53,91 @@ class _Slot:
     def __init__(self, payload, weight: int) -> None:
         self.event = threading.Event()
         self.result = None
-        self.error: Exception | None = None
+        self.error: Optional[Exception] = None
         self.weight = weight
         self.payload = payload
+
+    def wait(self):
+        self.event.wait()
+        if self.error is not None:
+            raise self.error
+        return self.result
 
 
 class MicroBatcher:
     """Coalesce concurrent ``submit`` calls into batched ``fn`` calls.
 
     ``fn(payloads: list) -> list`` must return one result per payload, in
-    order. ``weight`` (per submit) counts toward ``max_items`` — use the
-    number of rows so the fused device call stays bounded.
+    order. Alternatively ``fn_begin(payloads) -> thunk`` dispatches without
+    materializing and the returned thunk produces the results — the
+    pipelined path. ``weight`` (per submit) counts toward ``max_items`` —
+    use the number of rows so the fused device call stays bounded.
+
+    ``max_wait_ms`` is an OPTIONAL extra gather window (default 0 — pure
+    contention-based batching; see module docstring for why waiting lost).
     """
 
-    def __init__(self, fn: Callable[[List[Any]], List[Any]], *,
-                 max_items: int = 64, max_wait_ms: float = 2.0,
-                 name: str = "batch") -> None:
+    def __init__(self, fn: Optional[Callable[[List[Any]], List[Any]]] = None, *,
+                 fn_begin: Optional[Callable[[List[Any]], Callable[[], List[Any]]]] = None,
+                 max_items: int = 64, max_wait_ms: float = 0.0,
+                 finishers: int = 8, name: str = "batch") -> None:
+        assert fn is not None or fn_begin is not None
         self.fn = fn
+        self.fn_begin = fn_begin
         self.max_items = max_items
         self.max_wait_s = max_wait_ms / 1000.0
         self.name = name
         self.calls = 0          # fused device calls issued
         self.submitted = 0      # requests coalesced into them
-        self._q: Queue[_Slot] = Queue()
+        self._q: "Queue[Optional[_Slot]]" = Queue()
         self._closed = False
+        self._pool = (ThreadPoolExecutor(max_workers=finishers,
+                                         thread_name_prefix=f"mb-fin-{name}")
+                      if fn_begin is not None else None)
+        # bound the number of fused calls in flight so a dispatcher sprint
+        # can't build an unbounded device queue
+        self._inflight = threading.Semaphore(max(finishers, 1) * 2)
         self._worker = threading.Thread(
             target=self._loop, name=f"microbatch-{name}", daemon=True)
         self._worker.start()
 
-    def submit(self, payload, weight: int = 1):
+    # ------------------------------------------------------------- submit
+
+    def submit_begin(self, payload, weight: int = 1) -> _Slot:
+        """Enqueue without waiting; ``slot.wait()`` blocks for the result.
+        Lets a caller feed several batchers before waiting on any."""
         if self._closed:
             raise RuntimeError(f"MicroBatcher {self.name} is closed")
         slot = _Slot(payload, max(weight, 1))
         self._q.put(slot)
-        slot.event.wait()
-        if slot.error is not None:
-            raise slot.error
-        return slot.result
+        if self._closed:
+            # submit raced close(): the worker may already have exited.
+            # The close() drain handles queued slots; nothing to do here —
+            # wait() will raise the error the drain set. (ADVICE r2: slots
+            # enqueued behind the sentinel used to block forever.)
+            pass
+        return slot
+
+    def submit(self, payload, weight: int = 1):
+        return self.submit_begin(payload, weight).wait()
 
     def close(self) -> None:
         self._closed = True
         self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5.0)
+        # drain anything the worker didn't get to (including slots that
+        # raced the _closed check) so no submitter blocks forever
+        err = RuntimeError(f"MicroBatcher {self.name} is closed")
+        while True:
+            try:
+                slot = self._q.get_nowait()
+            except Empty:
+                break
+            if slot is not None:
+                slot.error = err
+                slot.event.set()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
 
     # ------------------------------------------------------------ worker
 
@@ -89,15 +146,19 @@ class MicroBatcher:
             first = self._q.get()
             if first is None:
                 return
+            if self.fn_begin is not None:
+                # claim the in-flight slot BEFORE gathering: while all
+                # finisher slots are busy nothing can dispatch anyway, so
+                # blocking here lets the queue build and the next fused call
+                # carry everything that accumulated — batch size adapts to
+                # backpressure with zero added latency (measured: gathering
+                # first produced avg batches of 2.9 under 16 threads; this
+                # ordering produces near-concurrency-sized batches)
+                self._inflight.acquire()
             batch = [first]
             weight = first.weight
-            # Gather phase: ONE bounded sleep, then drain whatever queued.
-            # A loop of timed q.get()s would re-arm the timeout per item and
-            # inflate badly under GIL contention (each wake is scheduled
-            # late when request threads hold the GIL); a single sleep bounds
-            # the added latency to ~max_wait_s regardless of load.
-            if weight < self.max_items and self._q.empty():
-                time.sleep(self.max_wait_s)
+            if self.max_wait_s > 0 and weight < self.max_items and self._q.empty():
+                threading.Event().wait(self.max_wait_s)  # optional gather window
             stop = False
             while weight < self.max_items:
                 try:
@@ -116,8 +177,22 @@ class MicroBatcher:
     def _run(self, batch: List[_Slot]) -> None:
         self.calls += 1
         self.submitted += len(batch)
+        payloads = [s.payload for s in batch]
+        if self.fn_begin is None:
+            self._finish(batch, lambda: self.fn(payloads))
+            return
+        # in-flight slot already held (acquired in _loop before gathering)
         try:
-            results = self.fn([s.payload for s in batch])
+            thunk = self.fn_begin(payloads)
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            self._inflight.release()
+            self._fail(batch, e)
+            return
+        self._pool.submit(self._finish, batch, thunk, release=True)
+
+    def _finish(self, batch: List[_Slot], thunk, release: bool = False) -> None:
+        try:
+            results = thunk()
             for slot, res in zip(batch, results):
                 slot.result = res
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
@@ -125,8 +200,17 @@ class MicroBatcher:
             for slot in batch:
                 slot.error = e
         finally:
+            if release:
+                self._inflight.release()
             for slot in batch:
                 slot.event.set()
+
+    def _fail(self, batch: List[_Slot], e: Exception) -> None:
+        log.exception("micro-batch %s dispatch failed (%d payloads)",
+                      self.name, len(batch))
+        for slot in batch:
+            slot.error = e
+            slot.event.set()
 
 
 class _Delegate:
@@ -145,44 +229,150 @@ class _Delegate:
 
 
 class BatchingEncoder(_Delegate):
-    # block delegation of the raw dispatch-split API: callers must go
-    # through the batching queue (see Encoder.supports_encode_begin)
-    supports_encode_begin = False
+    """Wraps an encoder: concurrent callers' text lists are concatenated
+    into one length-bucketed forward pass. Exposes its own queue-backed
+    ``encode_begin`` (the class flag opts in) so DualEncoder.encode_all
+    submits BOTH models' texts before waiting on either."""
 
-    """Wraps an encoder's ``encode``: concurrent callers' text lists are
-    concatenated into one length-bucketed forward pass."""
+    supports_encode_begin = True
 
-    def __init__(self, inner, *, max_texts: int = 128, max_wait_ms: float = 2.0,
+    def __init__(self, inner, *, max_texts: int = 128, max_wait_ms: float = 0.0,
                  name: str = "encode") -> None:
         super().__init__(inner)
-        self.batcher = MicroBatcher(self._run, max_items=max_texts,
-                                    max_wait_ms=max_wait_ms, name=name)
+        split = getattr(type(inner), "supports_encode_begin", False)
+        self.batcher = MicroBatcher(
+            fn=None if split else self._run,
+            fn_begin=self._run_begin if split else None,
+            max_items=max_texts, max_wait_ms=max_wait_ms, name=name)
 
-    def _run(self, groups: List[List[str]]) -> List[np.ndarray]:
-        flat = [t for g in groups for t in g]
-        vecs = self.inner.encode(flat)
+    def _flatten(self, groups: List[List[str]]):
+        return [t for g in groups for t in g]
+
+    def _split(self, groups: List[List[str]], vecs: np.ndarray) -> List[np.ndarray]:
         out, lo = [], 0
         for g in groups:
             out.append(vecs[lo: lo + len(g)])
             lo += len(g)
         return out
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
+    def _run(self, groups: List[List[str]]) -> List[np.ndarray]:
+        return self._split(groups, self.inner.encode(self._flatten(groups)))
+
+    def _run_begin(self, groups: List[List[str]]):
+        materialize = self.inner.encode_begin(self._flatten(groups))
+        return lambda: self._split(groups, materialize())
+
+    def encode_begin(self, texts: Sequence[str]):
         texts = list(texts)
         if not texts:
-            return self.inner.encode(texts)
-        return self.batcher.submit(texts, weight=len(texts))
+            return lambda: self.inner.encode(texts)
+        slot = self.batcher.submit_begin(texts, weight=len(texts))
+        return slot.wait
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        return self.encode_begin(texts)()
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]
 
 
+class MultiIndexBatcher:
+    """Coalesce concurrent requests' PER-MODEL index sweeps into one fused
+    device round trip.
+
+    A hybrid query sweeps every per-model index (baai + gte). Wrapping each
+    index in its own :class:`BatchingIndex` still costs one RPC per model
+    per fused batch, and each request thread blocks on two batcher slots.
+    Here a submission is the whole ``{model: [B, D]}`` dict; the fused call
+    concatenates rows per model, dispatches ALL indexes' sweeps
+    back-to-back, and materializes them with a single combined device_get
+    (index/pending.collect) — one RPC round trip per fused batch, total.
+
+    Submissions must cover the same model set (the hybrid path always
+    does); B may differ per request but is equal across models within one
+    request (the same query variants encoded per model).
+    """
+
+    def __init__(self, indexes: Dict[str, Any], *, max_queries: int = 64,
+                 max_wait_ms: float = 0.0, name: str = "sweep") -> None:
+        self.indexes = indexes
+        self.max_queries = max_queries
+        self.max_wait_ms = max_wait_ms
+        self.name = name
+        self._batchers: Dict[int, MicroBatcher] = {}
+        self._lock = threading.Lock()
+
+    def _pad_pow2(self, cat: np.ndarray) -> np.ndarray:
+        b = cat.shape[0]
+        bucket = 8
+        while bucket < b:
+            bucket *= 2
+        if bucket > b:
+            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
+        return cat
+
+    def _batcher_for(self, top_k: int) -> MicroBatcher:
+        mb = self._batchers.get(top_k)
+        if mb is None:
+            with self._lock:
+                mb = self._batchers.get(top_k)
+                if mb is None:
+                    def begin(groups: List[Dict[str, np.ndarray]]):
+                        from financial_rag_tpu.index.pending import collect, ready
+
+                        names = list(self.indexes.keys())
+                        pendings = []
+                        for mname in names:
+                            idx = self.indexes[mname]
+                            cat = self._pad_pow2(np.concatenate(
+                                [np.asarray(g[mname], np.float32) for g in groups]))
+                            if getattr(type(idx), "supports_search_begin", False):
+                                pendings.append(idx.search_begin(cat, top_k))
+                            else:
+                                pendings.append(ready(*idx.search(cat, top_k)))
+
+                        def thunk():
+                            per_model = dict(zip(names, collect(pendings)))  # ONE RPC
+                            out, lo = [], 0
+                            for g in groups:
+                                n = len(next(iter(g.values())))
+                                out.append({m: (ids[lo: lo + n], sc[lo: lo + n])
+                                            for m, (ids, sc) in per_model.items()})
+                                lo += n
+                            return out
+
+                        return thunk
+
+                    mb = MicroBatcher(fn_begin=begin, max_items=self.max_queries,
+                                      max_wait_ms=self.max_wait_ms,
+                                      name=f"{self.name}@k{top_k}")
+                    self._batchers[top_k] = mb
+        return mb
+
+    def search_all(self, per_model_vecs: Dict[str, np.ndarray],
+                   top_k: int) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Blocking fused sweep of every index; returns
+        ``{model: (ids [B,k], scores [B,k])}``."""
+        b = len(next(iter(per_model_vecs.values())))
+        return self._batcher_for(top_k).submit(per_model_vecs, weight=b)
+
+    def stats(self) -> dict:
+        return {
+            f"k{k}": {"calls": mb.calls, "submitted": mb.submitted}
+            for k, mb in self._batchers.items()
+        }
+
+
 class BatchingIndex(_Delegate):
     """Wraps an index's ``search``: concurrent query matrices with the same
     (top_k, kwargs) signature are stacked into one device sweep. One
-    MicroBatcher per signature (shapes must agree for the fused call)."""
+    MicroBatcher per signature (shapes must agree for the fused call).
+    Exposes a queue-backed ``search_begin`` so the hybrid path submits to
+    every per-model index before waiting on any."""
 
-    def __init__(self, inner, *, max_queries: int = 64, max_wait_ms: float = 2.0,
+    supports_search_begin = True
+
+    def __init__(self, inner, *, max_queries: int = 64, max_wait_ms: float = 0.0,
                  name: str = "search") -> None:
         super().__init__(inner)
         self.max_queries = max_queries
@@ -191,6 +381,26 @@ class BatchingIndex(_Delegate):
         self._batchers: Dict[Tuple, MicroBatcher] = {}
         self._lock = threading.Lock()
 
+    def _fused(self, groups: List[np.ndarray], top_k: int, kwargs: dict):
+        cat = np.concatenate(groups, axis=0)
+        # pad to a power-of-two row bucket: jit retraces per query-batch
+        # shape, and unpadded concatenations produce a fresh shape (= a
+        # fresh compile) for every distinct mix of coalesced requests
+        b = cat.shape[0]
+        bucket = 8
+        while bucket < b:
+            bucket *= 2
+        if bucket > b:
+            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
+        return cat
+
+    def _split(self, groups, ids, scores):
+        out, lo = [], 0
+        for g in groups:
+            out.append((ids[lo: lo + len(g)], scores[lo: lo + len(g)]))
+            lo += len(g)
+        return out
+
     def _batcher_for(self, top_k: int, kwargs: dict) -> MicroBatcher:
         key = (top_k, tuple(sorted(kwargs.items())))
         mb = self._batchers.get(key)
@@ -198,36 +408,37 @@ class BatchingIndex(_Delegate):
             with self._lock:
                 mb = self._batchers.get(key)
                 if mb is None:
-                    def run(groups: List[np.ndarray]) -> List[Tuple[np.ndarray, np.ndarray]]:
-                        cat = np.concatenate(groups, axis=0)
-                        # pad to a power-of-two row bucket: jit retraces per
-                        # query-batch shape, and unpadded concatenations
-                        # produce a fresh shape (= a fresh compile) for
-                        # every distinct mix of coalesced requests
-                        b = cat.shape[0]
-                        bucket = 8
-                        while bucket < b:
-                            bucket *= 2
-                        if bucket > b:
-                            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
-                        ids, scores = self.inner.search(cat, top_k, **kwargs)
-                        out, lo = [], 0
-                        for g in groups:
-                            out.append((ids[lo: lo + len(g)], scores[lo: lo + len(g)]))
-                            lo += len(g)
-                        return out
+                    split = getattr(type(self.inner), "supports_search_begin", False)
 
-                    mb = MicroBatcher(run, max_items=self.max_queries,
+                    def run(groups: List[np.ndarray]):
+                        cat = self._fused(groups, top_k, kwargs)
+                        ids, scores = self.inner.search(cat, top_k, **kwargs)
+                        return self._split(groups, ids, scores)
+
+                    def run_begin(groups: List[np.ndarray]):
+                        cat = self._fused(groups, top_k, kwargs)
+                        pending = self.inner.search_begin(cat, top_k, **kwargs)
+                        return lambda: self._split(groups, *pending.get())
+
+                    mb = MicroBatcher(fn=None if split else run,
+                                      fn_begin=run_begin if split else None,
+                                      max_items=self.max_queries,
                                       max_wait_ms=self.max_wait_ms,
                                       name=f"{self.name}@k{top_k}")
                     self._batchers[key] = mb
         return mb
 
-    def search(self, queries: np.ndarray, top_k: int, **kwargs):
+    def search_begin(self, queries: np.ndarray, top_k: int, **kwargs):
+        from financial_rag_tpu.index.pending import SearchPending
+
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        return self._batcher_for(top_k, kwargs).submit(q, weight=q.shape[0])
+        slot = self._batcher_for(top_k, kwargs).submit_begin(q, weight=q.shape[0])
+        return SearchPending(None, lambda _: slot.wait())
+
+    def search(self, queries: np.ndarray, top_k: int, **kwargs):
+        return self.search_begin(queries, top_k, **kwargs).get()
 
     def stats(self) -> dict:
         return {

@@ -16,9 +16,17 @@ from typing import Dict, Iterable, List, Optional, Sequence
 
 
 class ChildMetaStore:
+    # rows read per query on the serving hot path (~100 candidate children);
+    # a per-query SQLite SELECT costs ~1-5ms under thread contention while a
+    # dict hit costs ~1us, so rows are mirrored in memory after first read.
+    # Bulk-evicted (cleared) at the cap: serving working sets are far below
+    # it, and a crude clear beats per-access LRU bookkeeping on this path.
+    MEM_CAP = 262_144
+
     def __init__(self, db_path: str | Path = "children_meta.db") -> None:
         self.db_path = str(db_path)
         self._local = threading.local()
+        self._mem: Dict[int, dict] = {}
         with self._conn() as c:
             c.execute(
                 """CREATE TABLE IF NOT EXISTS children (
@@ -48,6 +56,8 @@ class ChildMetaStore:
              ch["snippet"], ch.get("context"), ch.get("source_path"), ch.get("source_mtime"))
             for ch in children
         ]
+        for r in rows:  # keep the memory mirror coherent with overwrites
+            self._mem.pop(r[0], None)
         with self._conn() as c:
             c.executemany(
                 """INSERT INTO children(child_id, parent_id, document_id, snippet,
@@ -67,8 +77,19 @@ class ChildMetaStore:
     def get_children(self, child_ids: Sequence[int]) -> Dict[int, dict]:
         if not child_ids:
             return {}
-        uniq = list(dict.fromkeys(int(c) for c in child_ids))
+        mem = self._mem
         out: Dict[int, dict] = {}
+        uniq = []
+        for c in child_ids:
+            cid = int(c)
+            if cid in out:
+                continue
+            row = mem.get(cid)
+            if row is not None:
+                out[cid] = row  # shared read-only row (callers copy fields)
+            else:
+                uniq.append(cid)
+        uniq = list(dict.fromkeys(uniq))
         # chunk the IN clause to stay under SQLite's variable limit
         for lo in range(0, len(uniq), 500):
             batch = uniq[lo: lo + 500]
@@ -77,9 +98,13 @@ class ChildMetaStore:
                 f"SELECT child_id, parent_id, document_id, snippet, context, "
                 f"source_path, source_mtime FROM children WHERE child_id IN ({marks})", batch)
             for cid, pid, doc, snippet, context, path, mtime in cur.fetchall():
-                out[cid] = {"child_id": cid, "parent_id": pid, "document_id": doc,
-                            "snippet": snippet, "context": context,
-                            "source_path": path, "source_mtime": mtime}
+                row = {"child_id": cid, "parent_id": pid, "document_id": doc,
+                       "snippet": snippet, "context": context,
+                       "source_path": path, "source_mtime": mtime}
+                out[cid] = row
+                if len(mem) >= self.MEM_CAP:
+                    mem.clear()
+                mem[cid] = row
         return out
 
     def children_of_document(self, document_id: str) -> List[int]:
@@ -88,6 +113,7 @@ class ChildMetaStore:
         return [r[0] for r in cur.fetchall()]
 
     def delete_document(self, document_id: str) -> int:
+        self._mem.clear()  # coarse, correct: deletions are rare admin ops
         with self._conn() as c:
             cur = c.execute("DELETE FROM children WHERE document_id=?", (document_id,))
             return cur.rowcount

@@ -28,6 +28,33 @@ class FeedbackDatabase:
         self.db_path = str(db_path)
         self.cache_ttl_s = cache_ttl_s
         self._local = threading.local()
+        # In-memory key mirror of query_cache: cache_get sits on the serving
+        # hot path and a per-query SQLite SELECT costs ~2-3ms under thread
+        # contention (profiled); a dict miss costs ~1us. SQLite stays the
+        # durable store — the mirror only answers MISSES without I/O; hits
+        # (rare, and worth a 46ms saved query) still read/update SQLite.
+        self._cache_keys: Dict[str, float] = {}
+        # Deferred batched writes: the serving hot path records a feedback
+        # row + a cache row per query; committed individually that is 2
+        # SQLite transactions (+ a result-JSON encode) per query of
+        # GIL/fsync time (profiled ~5-20ms under load). defer_* append to a
+        # buffer; one writer thread commits the batch in a single
+        # transaction every FLUSH_INTERVAL_S (or on flush_writes(), which
+        # every read path calls first so reads always see prior writes).
+        self._pending: List[tuple] = []
+        self._plock = threading.Lock()
+        self._cache_pending: Dict[str, dict] = {}
+        self._writer_started = False
+        self._init_schema()
+        # mirror keys persisted by prior runs (hash+timestamp only — results
+        # stay on disk until a hit actually needs them)
+        for h, created in self._conn().execute(
+                "SELECT query_hash, created_at FROM query_cache"):
+            self._cache_keys[h] = created
+
+    FLUSH_INTERVAL_S = 0.25
+
+    def _init_schema(self) -> None:
         with self._conn() as c:
             c.executescript("""
                 CREATE TABLE IF NOT EXISTS query_feedback (
@@ -90,10 +117,86 @@ class FeedbackDatabase:
                  response_time_s, result_count))
             return cur.lastrowid
 
+    # ------------------------------------------------- deferred batch writes
+
+    def _ensure_writer(self) -> None:
+        if not self._writer_started:
+            self._writer_started = True
+            threading.Thread(target=self._writer_loop, daemon=True,
+                             name="feedback-db-writer").start()
+
+    def _writer_loop(self) -> None:
+        while True:
+            time.sleep(self.FLUSH_INTERVAL_S)
+            try:
+                self.flush_writes()
+            except Exception:  # noqa: BLE001 — a dead writer loses all writes
+                import logging
+
+                logging.getLogger(__name__).exception("feedback flush failed")
+
+    def defer_feedback(self, *, query: str, rating: Optional[int] = None,
+                       comment: Optional[str] = None, strategy: Optional[str] = None,
+                       session_id: Optional[str] = None,
+                       response_time_s: Optional[float] = None,
+                       result_count: Optional[int] = None) -> None:
+        """store_feedback, batched: ~1us on the caller; committed by the
+        writer thread in one transaction with everything else pending."""
+        self._ensure_writer()
+        row = (time.time(), session_id, query, strategy, rating, comment,
+               response_time_s, result_count)
+        with self._plock:
+            self._pending.append(("feedback", row))
+
+    def defer_cache_put(self, query_hash: str, query: str, result: dict,
+                        now: Optional[float] = None) -> None:
+        """cache_put, batched. The result becomes visible to cache_get
+        immediately (pending map) and durable at the next flush. Caller
+        passes an owned dict (the engine hands a copy)."""
+        self._ensure_writer()
+        now = time.time() if now is None else now
+        self._cache_keys[query_hash] = now
+        self._cache_pending[query_hash] = result
+        with self._plock:
+            self._pending.append(("cache", (query_hash, query, result, now)))
+
+    def flush_writes(self) -> None:
+        """Commit all deferred writes in one transaction. Reads call this
+        first, so analytics always observe completed queries."""
+        with self._plock:
+            ops, self._pending = self._pending, []
+        if not ops:
+            return
+        with self._conn() as c:
+            for kind, row in ops:
+                if kind == "feedback":
+                    c.execute(
+                        """INSERT INTO query_feedback(timestamp, session_id, query,
+                               strategy, rating, comment, response_time_s, result_count)
+                           VALUES (?,?,?,?,?,?,?,?)""", row)
+                else:
+                    query_hash, query, result, now = row
+                    c.execute(
+                        """INSERT INTO query_cache(query_hash, query, result_json, created_at)
+                           VALUES (?,?,?,?)
+                           ON CONFLICT(query_hash) DO UPDATE SET
+                             result_json=excluded.result_json,
+                             created_at=excluded.created_at""",
+                        (query_hash, query, json.dumps(result, default=str), now))
+        for kind, row in ops:
+            if kind == "cache":
+                self._cache_pending.pop(row[0], None)
+
     # --------------------------------------------------------- result cache
 
     def cache_get(self, query_hash: str, now: Optional[float] = None) -> Optional[dict]:
         now = time.time() if now is None else now
+        created = self._cache_keys.get(query_hash)
+        if created is None or now - created > self.cache_ttl_s:
+            return None  # fast miss: no SQLite I/O
+        pending = self._cache_pending.get(query_hash)
+        if pending is not None:
+            return dict(pending)
         row = self._conn().execute(
             "SELECT result_json, created_at FROM query_cache WHERE query_hash=?",
             (query_hash,)).fetchone()
@@ -118,8 +221,10 @@ class FeedbackDatabase:
                    ON CONFLICT(query_hash) DO UPDATE SET
                      result_json=excluded.result_json, created_at=excluded.created_at""",
                 (query_hash, query, json.dumps(result, default=str), now))
+        self._cache_keys[query_hash] = now
 
     def cache_stats(self) -> dict:
+        self.flush_writes()  # reads must observe deferred writes
         row = self._conn().execute(
             "SELECT COUNT(*), COALESCE(SUM(hit_count),0) FROM query_cache").fetchone()
         return {"entries": row[0], "total_hits": row[1]}
@@ -143,6 +248,7 @@ class FeedbackDatabase:
                  "queries_per_minute": r[3], "error_rate": r[4]} for r in rows]
 
     def performance_summary(self, window_s: float = 24 * 3600) -> dict:
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             """SELECT rating, response_time_s, result_count FROM query_feedback
@@ -160,6 +266,7 @@ class FeedbackDatabase:
 
     def temporal_patterns(self, window_s: float = 7 * 24 * 3600) -> Dict[int, int]:
         """Queries per hour-of-day."""
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             "SELECT timestamp FROM query_feedback WHERE timestamp >= ?", (cutoff,)).fetchall()
@@ -167,6 +274,7 @@ class FeedbackDatabase:
         return dict(sorted(hours.items()))
 
     def keyword_frequency(self, top_n: int = 20, window_s: float = 7 * 24 * 3600) -> List[tuple]:
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             "SELECT query FROM query_feedback WHERE timestamp >= ?", (cutoff,)).fetchall()
@@ -178,6 +286,7 @@ class FeedbackDatabase:
 
     def detect_anomalies(self, window_s: float = 24 * 3600, z_threshold: float = 3.0) -> List[dict]:
         """Response-time outliers (z-score over the window)."""
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             """SELECT query, response_time_s FROM query_feedback
@@ -197,6 +306,7 @@ class FeedbackDatabase:
                          max_sessions: int = 50) -> Dict[str, List[str]]:
         """Per-session ordered query sequences (reference AdvancedAnalytics
         session journey capability)."""
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             """SELECT session_id, query FROM query_feedback
@@ -211,6 +321,7 @@ class FeedbackDatabase:
 
     def strategy_transitions(self, window_s: float = 7 * 24 * 3600) -> Dict[str, int]:
         """Counts of strategy A->B transitions within sessions."""
+        self.flush_writes()  # reads must observe deferred writes
         cutoff = time.time() - window_s
         rows = self._conn().execute(
             """SELECT session_id, strategy FROM query_feedback

@@ -157,8 +157,8 @@ def main():
                    "vs_baseline": None,
                    "p50_ms": round(r["p50_ms"], 1), "p95_ms": round(r["p95_ms"], 1),
                    "errors": r["errors"], "backend": backend}
-            if mode and hasattr(next(iter(rt.indexes.values())), "stats"):
-                row["batch_stats"] = {n: i.stats() for n, i in rt.indexes.items()}
+            if mode and rt.hybrid.sweep_batcher is not None:
+                row["batch_stats"] = rt.hybrid.sweep_batcher.stats()
             log(json.dumps(row))
             results.append(row)
 

@@ -165,16 +165,60 @@ class TestBatchingIndex:
         assert 1 not in ids[0]
 
 
+class TestMultiIndexBatcher:
+    """Hybrid-level sweep batching: both per-model indexes' sweeps fuse
+    into one dispatch + one combined device_get per batch."""
+
+    @pytest.fixture()
+    def indexes(self):
+        rng = np.random.default_rng(0)
+        out = {}
+        for name in ("baai", "gte"):
+            x = rng.standard_normal((256, 64)).astype(np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            idx = FlatIndex(dim=64, capacity=512, name=f"mib_{name}")
+            idx.upsert(np.arange(1, 257, dtype=np.int64), x)
+            out[name] = (idx, x)
+        return out
+
+    def test_concurrent_sweeps_match_unbatched(self, indexes):
+        from financial_rag_tpu.serving.batcher import MultiIndexBatcher
+
+        raw = {n: idx for n, (idx, _) in indexes.items()}
+        mib = MultiIndexBatcher(raw, max_queries=64)
+        rng = np.random.default_rng(1)
+        reqs = [{n: x[rng.integers(0, 256, 3)] for n, (_, x) in indexes.items()}
+                for _ in range(8)]
+        expected = [{n: raw[n].search(vecs, 5) for n, vecs in r.items()}
+                    for r in reqs]
+
+        barrier = threading.Barrier(8)
+        results, errors = _run_threads(
+            8, lambda i: (barrier.wait(), mib.search_all(reqs[i], 5))[1])
+        assert not errors
+        for got, want in zip(results, expected):
+            for n in raw:
+                np.testing.assert_array_equal(got[n][0], want[n][0])
+                np.testing.assert_allclose(got[n][1], want[n][1], rtol=1e-5)
+        stats = mib.stats()
+        assert stats["k5"]["submitted"] == 8
+        assert stats["k5"]["calls"] < 8, "sweeps were not coalesced"
+
+
 class TestRuntimeMicrobatch:
     def test_engine_query_through_batched_stack(self, tmp_path, monkeypatch):
         monkeypatch.setenv("SERVE_MICROBATCH", "1")
         monkeypatch.setenv("MICROBATCH_WAIT_MS", "5")
         from financial_rag_tpu.config import FrameworkConfig
         from financial_rag_tpu.runtime import Runtime
-        from financial_rag_tpu.serving.batcher import BatchingIndex as BI
+        from financial_rag_tpu.serving.batcher import MultiIndexBatcher
 
         rt = Runtime.build(FrameworkConfig.from_env(), data_dir=tmp_path)
-        assert all(isinstance(i, BI) for i in rt.indexes.values())
+        # sweep batching lives at the hybrid level (one fused RPC across
+        # BOTH per-model indexes); the indexes themselves stay raw
+        assert isinstance(rt.hybrid.sweep_batcher, MultiIndexBatcher)
+        from financial_rag_tpu.index.flat import FlatIndex as FI
+        assert all(isinstance(i, FI) for i in rt.indexes.values())
         import json
 
         src = tmp_path / "lease.json"
