@@ -104,7 +104,18 @@ class IndexConfig:
 
     kind: str = field(default_factory=lambda: _env("INDEX_KIND", "flat"))  # flat | ivf
     dim: int = 384
-    capacity: int = field(default_factory=lambda: _env("INDEX_CAPACITY", 1 << 17))
+    # 0 = auto: flat indexes start at one kernel tile (1024) and double on
+    # demand; IVF/sharded sizing plans for ~131k vectors. An explicit value
+    # (env INDEX_CAPACITY or set programmatically — both honored, ADVICE r2)
+    # preallocates, which a large planned ingest should do up front: growth
+    # doublings transiently hold old+new buffers (~3x a doubling step).
+    capacity: int = field(default_factory=lambda: _env("INDEX_CAPACITY", 0))
+
+    @property
+    def planned_capacity(self) -> int:
+        """Capacity for sizing decisions (IVF nlist/list_size, per-shard
+        allocation): the explicit value, or the ~131k planning default."""
+        return self.capacity or (1 << 17)
     dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     # IVF (nlist 0 = auto: power-of-two ≈ 4·sqrt(capacity), see
     # index/ivf.recommended_nlist)

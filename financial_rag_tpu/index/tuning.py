@@ -101,12 +101,28 @@ def tune_nprobe(
             break
         cand *= 2
     else:
-        sweep.append({"nprobe": nlist, "recall": 1.0})
+        # No swept nprobe < nlist met the target. Applying nprobe=nlist
+        # would silently turn EVERY future search into an exhaustive probe
+        # — a permanent throughput cliff auto-triggered after an ingest
+        # sweep (ADVICE r2). Cap the applied fallback at half of nlist (the
+        # largest non-exhaustive sweep step) and warn loudly; the report
+        # still records that the target was unreachable.
+        chosen = max(nlist // 2, 1)
+        best = sweep[-1]["recall"] if sweep else 1.0
+        log.warning(
+            "nprobe autotune: no nprobe < nlist reaches recall@%d >= %.2f "
+            "(best %.4f at nprobe=%d); capping applied nprobe at %d instead "
+            "of the exhaustive %d — raise nlist or retrain if this persists",
+            k, target_recall, best, sweep[-1]["nprobe"] if sweep else 0,
+            chosen, nlist)
 
     report = {
         "nprobe": chosen,
         "k": k,
         "target_recall": target_recall,
+        # nlist==1 (empty sweep) is trivially exhaustive => met
+        "target_met": (not sweep
+                       or any(s["recall"] >= target_recall for s in sweep)),
         "queries": int(q.shape[0]),
         "sweep": sweep,
         "applied": bool(apply),

@@ -162,7 +162,7 @@ class Runtime:
 
                 sname = f"{coll}_ivf_sharded"
                 nlist = (cfg.index.ivf_nlist
-                         or recommended_nlist(cfg.index.capacity // shards))
+                         or recommended_nlist(cfg.index.planned_capacity // shards))
                 if (persist / f"{sname}_0.manifest.json").exists():
                     indexes[name] = ShardedIVFIndex.load(
                         persist, n_shards=shards, name=sname)
@@ -171,7 +171,7 @@ class Runtime:
                 else:
                     indexes[name] = ShardedIVFIndex(
                         dim=dim, n_shards=shards, nlist=nlist,
-                        list_size=_ivf_list_size(cfg.index.capacity // shards,
+                        list_size=_ivf_list_size(cfg.index.planned_capacity // shards,
                                                  nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=sname)
@@ -189,13 +189,13 @@ class Runtime:
                 else:
                     indexes[name] = ShardedFlatIndex(
                         mesh, dim=dim,
-                        capacity_per_shard=max(cfg.index.capacity // shards, 1024),
+                        capacity_per_shard=max(cfg.index.planned_capacity // shards, 1024),
                         dtype=index_dtype, name=coll)
                     log.info("index %s: sharded over %d devices", coll, shards)
             elif cfg.index.kind == "ivf":
                 from financial_rag_tpu.index.ivf import IVFIndex, recommended_nlist
 
-                nlist = cfg.index.ivf_nlist or recommended_nlist(cfg.index.capacity)
+                nlist = cfg.index.ivf_nlist or recommended_nlist(cfg.index.planned_capacity)
                 if (persist / f"{coll}_ivf.manifest.json").exists():
                     indexes[name] = IVFIndex.load(persist, name=f"{coll}_ivf",
                                                   dtype=index_dtype)
@@ -204,23 +204,21 @@ class Runtime:
                 else:
                     indexes[name] = IVFIndex(
                         dim=dim, nlist=nlist,
-                        list_size=_ivf_list_size(cfg.index.capacity, nlist),
+                        list_size=_ivf_list_size(cfg.index.planned_capacity, nlist),
                         nprobe=cfg.index.ivf_nprobe, dtype=index_dtype,
                         name=f"{coll}_ivf")
             elif (persist / f"{coll}.npz").exists():
                 indexes[name] = FlatIndex.load(persist, name=coll, dtype=index_dtype)
                 log.info("index %s: reloaded %d vectors", coll, indexes[name].count())
             else:
-                # Default: start at one kernel tile and double on demand
-                # (_grow) — the search sweep streams the WHOLE allocation,
-                # so preallocating the 131k default made every query on a
-                # small corpus pay a full-capacity sweep (profiled:
-                # 64ms/query host-side at 666 live chunks). An EXPLICIT
-                # INDEX_CAPACITY still preallocates: growth doublings
-                # transiently hold old+new buffers (~3x a doubling step),
-                # which a large planned ingest should avoid up front.
-                cap = (cfg.index.capacity
-                       if os.environ.get("INDEX_CAPACITY") else 1024)
+                # capacity=0 (auto): start at one kernel tile and double
+                # on demand (_grow) — the search sweep streams the WHOLE
+                # allocation, so preallocating the old 131k default made
+                # every query on a small corpus pay a full-capacity sweep
+                # (profiled: 64ms/query host-side at 666 live chunks). An
+                # explicit capacity (env or programmatic, ADVICE r2)
+                # preallocates.
+                cap = cfg.index.capacity or 1024
                 indexes[name] = FlatIndex(dim=dim, capacity=cap,
                                           dtype=index_dtype, name=coll)
 

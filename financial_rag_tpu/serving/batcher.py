@@ -47,6 +47,24 @@ from financial_rag_tpu.utils import get_logger
 log = get_logger("serving.batcher")
 
 
+def _pad_to_bucket(cat: np.ndarray, bucket: int) -> np.ndarray:
+    """Pad rows up to ONE fixed bucket (the batcher's max_queries), doubling
+    only on overshoot. jit retraces per query-batch shape, and a fresh shape
+    is a fresh compile — seconds through the tunnel. Variable power-of-two
+    buckets (8/16/32/64) were measured as a p95 catastrophe (1.9s vs 262ms):
+    every first-seen bucket size under load stalled a whole fused batch on a
+    compile. One fixed shape means the warmup query compiles the exact
+    kernel every later fused call reuses; the extra rows are nearly free —
+    the sweep's cost is streaming the corpus from HBM, not query rows
+    (ops/topk.py design note)."""
+    b = cat.shape[0]
+    while bucket < b:  # a gather can overshoot max_items by one submission
+        bucket *= 2
+    if bucket > b:
+        cat = np.pad(cat, ((0, bucket - b), (0, 0)))
+    return cat
+
+
 class _Slot:
     __slots__ = ("event", "result", "error", "weight", "payload")
 
@@ -302,14 +320,8 @@ class MultiIndexBatcher:
         self._batchers: Dict[int, MicroBatcher] = {}
         self._lock = threading.Lock()
 
-    def _pad_pow2(self, cat: np.ndarray) -> np.ndarray:
-        b = cat.shape[0]
-        bucket = 8
-        while bucket < b:
-            bucket *= 2
-        if bucket > b:
-            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
-        return cat
+    def _pad_rows(self, cat: np.ndarray) -> np.ndarray:
+        return _pad_to_bucket(cat, self.max_queries)
 
     def _batcher_for(self, top_k: int) -> MicroBatcher:
         mb = self._batchers.get(top_k)
@@ -324,7 +336,7 @@ class MultiIndexBatcher:
                         pendings = []
                         for mname in names:
                             idx = self.indexes[mname]
-                            cat = self._pad_pow2(np.concatenate(
+                            cat = self._pad_rows(np.concatenate(
                                 [np.asarray(g[mname], np.float32) for g in groups]))
                             if getattr(type(idx), "supports_search_begin", False):
                                 pendings.append(idx.search_begin(cat, top_k))
@@ -382,17 +394,7 @@ class BatchingIndex(_Delegate):
         self._lock = threading.Lock()
 
     def _fused(self, groups: List[np.ndarray], top_k: int, kwargs: dict):
-        cat = np.concatenate(groups, axis=0)
-        # pad to a power-of-two row bucket: jit retraces per query-batch
-        # shape, and unpadded concatenations produce a fresh shape (= a
-        # fresh compile) for every distinct mix of coalesced requests
-        b = cat.shape[0]
-        bucket = 8
-        while bucket < b:
-            bucket *= 2
-        if bucket > b:
-            cat = np.pad(cat, ((0, bucket - b), (0, 0)))
-        return cat
+        return _pad_to_bucket(np.concatenate(groups, axis=0), self.max_queries)
 
     def _split(self, groups, ids, scores):
         out, lo = [], 0

@@ -63,6 +63,36 @@ class TestTuneNprobe:
         report = idx.tune_nprobe()
         assert report["sweep"] == [] and report["queries"] == 0
 
+    def test_unreachable_target_caps_below_exhaustive(self, ivf):
+        """ADVICE r2: when no nprobe < nlist meets the target, the applied
+        fallback must NOT be the exhaustive nprobe=nlist (a permanent
+        latency cliff auto-applied after ingest sweeps) — it caps at
+        nlist//2 with a loud warning, and the report says the target was
+        missed. target_recall > 1 makes the miss deterministic."""
+        import logging
+
+        from financial_rag_tpu.index import tuning as tuning_mod
+
+        records = []
+
+        class _Catch(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        handler = _Catch(level=logging.WARNING)
+        tuning_mod.log.addHandler(handler)
+        before = ivf.nprobe
+        try:
+            report = ivf.tune_nprobe(k=10, target_recall=1.01, sample=32)
+            assert report["nprobe"] == max(ivf.nlist // 2, 1)
+            assert report["nprobe"] < ivf.nlist
+            assert report["target_met"] is False
+            assert ivf.nprobe == report["nprobe"]  # applied, but capped
+            assert any("autotune" in r.getMessage() for r in records)
+        finally:
+            ivf.nprobe = before  # module-scoped fixture: restore
+            tuning_mod.log.removeHandler(handler)
+
     def test_sharded_ivf_tuning_applies_to_all_shards(self):
         rng = np.random.default_rng(123)
         d, n = 64, 3000
