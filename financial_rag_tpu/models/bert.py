@@ -56,17 +56,24 @@ def resolve_attention_impl(seq_len: int | None = None, *,
     - pallas only on TPU (interpret mode executes the grid in Python);
     - pallas only at seq >= 256 when a seq length is known — at short
       sequences the XLA fusion is already fast and the kernel's block
-      geometry pays overhead;
-    - xla when the model axis is sharded (tensor parallel): the Pallas
-      custom calls carry no GSPMD partitioning rule, so SPMD propagation
-      would replicate the model-sharded operands — silently defeating TP.
-      (A shard_map-wrapped per-device kernel over local heads is the
-      future fix; heads shard cleanly.)
+      geometry pays overhead. EXCEPTION: under a sharded model axis the
+      fused kernel wins at every length, because the alternative (XLA
+      attention) materializes each layer's [B, N, S, S] probabilities for
+      the backward pass — the 27GB OOM that made pallas the training
+      default in the first place;
+    - pallas_tp when the model axis is sharded (tensor parallel): the
+      Pallas custom calls carry no GSPMD partitioning rule, so plain-jit
+      SPMD propagation would replicate the model-sharded operands —
+      instead ops/flash_attention.flash_attention_tp shard_maps the same
+      kernel over its mesh, each device running its local heads. Callers
+      must pass tp_mesh through bert_forward/bert_encode.
     """
     import jax
 
-    if jax.default_backend() != "tpu" or model_sharded:
+    if jax.default_backend() != "tpu":
         return "xla"
+    if model_sharded:
+        return "pallas_tp"
     if seq_len is not None and seq_len < 256:
         return "xla"
     return "pallas"
@@ -98,7 +105,7 @@ def _attention_xla(q, k, v, mask_bias, num_heads: int):
 
 
 def _encoder_layer(x, mask_bias, lp, *, num_heads: int, eps: float,
-                   attention_impl: str, use_fused_ffn: bool):
+                   attention_impl: str, use_fused_ffn: bool, tp_mesh=None):
     """One post-LN BERT layer. lp: this layer's slice of the stacked params."""
     dt = x.dtype
     q = jnp.dot(x, lp["q_w"].astype(dt), preferred_element_type=jnp.float32).astype(dt) + lp["q_b"].astype(dt)
@@ -109,6 +116,13 @@ def _encoder_layer(x, mask_bias, lp, *, num_heads: int, eps: float,
         from financial_rag_tpu.ops.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v, mask_bias, num_heads=num_heads)
+    elif attention_impl == "pallas_tp":
+        from financial_rag_tpu.ops.flash_attention import flash_attention_tp
+
+        mesh, m_ax, d_ax = (tp_mesh if isinstance(tp_mesh, tuple)
+                            else (tp_mesh, "model", "data"))
+        attn = flash_attention_tp(q, k, v, mask_bias, num_heads=num_heads,
+                                  mesh=mesh, model_axis=m_ax, data_axis=d_ax)
     else:
         attn = _attention_xla(q, k, v, mask_bias, num_heads)
 
@@ -140,6 +154,7 @@ def bert_forward(
     compute_dtype=jnp.float32,
     attention_impl: str = "xla",
     use_fused_ffn: Optional[bool] = None,
+    tp_mesh=None,   # required for attention_impl="pallas_tp"
 ) -> jnp.ndarray:
     """Full encoder stack -> last hidden states [B, S, H]."""
     if use_fused_ffn is None:
@@ -165,6 +180,7 @@ def bert_forward(
         eps=config.layer_norm_eps,
         attention_impl=attention_impl,
         use_fused_ffn=use_fused_ffn,
+        tp_mesh=tp_mesh,
     )
 
     def scan_body(h, lp):
@@ -210,12 +226,13 @@ def bert_encode(
     attention_impl: str = "xla",
     use_pallas_pool: bool = False,
     use_fused_ffn: Optional[bool] = None,
+    tp_mesh=None,
 ) -> jnp.ndarray:
     """Sentence-embedding forward: encoder stack -> pool -> L2 norm. [B, H] f32."""
     hidden = bert_forward(
         params, input_ids, attention_mask, token_type_ids,
         config=config, compute_dtype=compute_dtype, attention_impl=attention_impl,
-        use_fused_ffn=use_fused_ffn,
+        use_fused_ffn=use_fused_ffn, tp_mesh=tp_mesh,
     )
     return pool_hidden(hidden, attention_mask, pooling, use_pallas=use_pallas_pool)
 

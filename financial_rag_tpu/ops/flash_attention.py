@@ -163,3 +163,49 @@ def flash_attention(
     # satisfying Mosaic's tile-alignment rule for non-(8,128) blocks
     bias = mask_bias.reshape(b, 1, s).astype(jnp.float32)
     return _flash_attention(q, k, v, bias, num_heads, interpret)
+
+
+def flash_attention_tp(
+    q: jnp.ndarray,            # [B, S, H] — H sharded over model_axis
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_bias: jnp.ndarray,    # [B, 1, 1, S] additive f32, replicated over model
+    *,
+    num_heads: int,
+    mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused attention under tensor parallelism: shard_map-per-heads.
+
+    Pallas custom calls carry no GSPMD partitioning rule, so under plain
+    jit the SPMD partitioner would replicate the model-sharded q/k/v —
+    silently defeating TP (the round-2 gap: TP training fell back to XLA
+    attention, models/bert.resolve_attention_impl). Heads shard cleanly:
+    each device runs the SAME kernel on its local num_heads/tp heads
+    ([B_local, S, H/tp] blocks, head_dim unchanged), no collectives —
+    attention is embarrassingly parallel over heads; the surrounding
+    projections' all-reduces stay where GSPMD puts them. The custom VJP
+    differentiates per-shard, so the fused backward also runs under TP.
+    """
+    tp = mesh.shape[model_axis]
+    if num_heads % tp != 0:
+        raise ValueError(f"num_heads={num_heads} not divisible by tp={tp}")
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    d = data_axis if data_axis in mesh.axis_names else None
+    qkv_spec = P(d, None, model_axis)
+    bias_spec = P(d, None, None, None)
+    local_heads = num_heads // tp
+
+    def local_attn(qq, kk, vv, bb):
+        return flash_attention(qq, kk, vv, bb, num_heads=local_heads,
+                               interpret=interpret)
+
+    return shard_map(
+        local_attn, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+        out_specs=qkv_spec, check_vma=False,
+    )(q, k, v, mask_bias)

@@ -110,18 +110,22 @@ def make_train_step(
     if attention_impl == "auto":
         from financial_rag_tpu.models.bert import resolve_attention_impl
 
-        # tensor-parallel meshes fall back to XLA attention: the Pallas
-        # custom calls have no GSPMD partitioning rule (see helper)
+        # tensor-parallel meshes run the fused kernel through a shard_map
+        # over local heads (pallas_tp) — round-2's XLA fallback is gone
         attention_impl = resolve_attention_impl(
             model_sharded=mesh.shape[model_axis] > 1)
+    if attention_impl == "pallas_tp" and config.num_heads % mesh.shape[model_axis]:
+        attention_impl = "xla"  # heads don't shard evenly on this mesh
+
+    tp_mesh = (mesh, model_axis, data_axis) if attention_impl == "pallas_tp" else None
 
     def loss_fn(params, batch):
         q_emb = bert_encode(params, batch["q_ids"], batch["q_mask"], config=config,
                             pooling=pooling, compute_dtype=compute_dtype,
-                            attention_impl=attention_impl)
+                            attention_impl=attention_impl, tp_mesh=tp_mesh)
         d_emb = bert_encode(params, batch["d_ids"], batch["d_mask"], config=config,
                             pooling=pooling, compute_dtype=compute_dtype,
-                            attention_impl=attention_impl)
+                            attention_impl=attention_impl, tp_mesh=tp_mesh)
         return contrastive_loss(q_emb, d_emb, temperature)
 
     batch_sharding = NamedSharding(mesh, P(data_axis, None))
@@ -140,4 +144,12 @@ def make_train_step(
             opt_state = jax.jit(optimizer.init)(params)
         return params, opt_state
 
-    return jax.jit(train_step), init_state
+    jitted = jax.jit(train_step)
+
+    def step(params, opt_state, batch):
+        return jitted(params, opt_state, batch)
+
+    # report the resolved attention path (PjitFunction forbids attributes,
+    # hence the thin wrapper); dryrun_multichip asserts pallas_tp on TP
+    step.attention_impl = attention_impl
+    return step, init_state

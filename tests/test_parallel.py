@@ -287,6 +287,48 @@ class TestTraining:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
+    def test_pallas_tp_attention_grad_parity(self, eight_devices):
+        """The shard_map-per-heads fused attention (pallas_tp, interpret
+        mode on the CPU mesh) must produce the same loss and the same
+        one-step parameter update as XLA attention on a dp=2 x tp=2 mesh —
+        i.e. the custom VJP differentiates correctly THROUGH the shard_map
+        (round-2 gap: TP silently fell back to XLA attention)."""
+        import optax
+
+        from financial_rag_tpu.config import ModelConfig
+        from financial_rag_tpu.models import random_params
+        from financial_rag_tpu.training import make_train_step
+
+        mesh = train_mesh(tp=2, devices=eight_devices[:4])
+        config = ModelConfig(name="tiny", hidden_size=64, num_layers=2, num_heads=4,
+                             intermediate_size=128, vocab_size=256, max_position=32)
+        rng = np.random.default_rng(0)
+        b, s = 8, 16
+        batch = {
+            "q_ids": jnp.asarray(rng.integers(1, 256, (b, s)), jnp.int32),
+            "q_mask": jnp.ones((b, s), jnp.int32),
+            "d_ids": jnp.asarray(rng.integers(1, 256, (b, s)), jnp.int32),
+            "d_mask": jnp.ones((b, s), jnp.int32),
+        }
+
+        results = {}
+        for impl in ("xla", "pallas_tp"):
+            params = random_params(config, seed=0)
+            step, init_state = make_train_step(
+                config, mesh, optimizer=optax.sgd(0.1), attention_impl=impl)
+            assert step.attention_impl == impl
+            params, opt_state = init_state(params)
+            with mesh:
+                params, opt_state, loss = step(params, opt_state, batch)
+            results[impl] = (float(loss), jax.tree_util.tree_leaves(params))
+
+        loss_x, leaves_x = results["xla"]
+        loss_p, leaves_p = results["pallas_tp"]
+        assert abs(loss_x - loss_p) < 1e-5, (loss_x, loss_p)
+        for lx, lp in zip(leaves_x, leaves_p):
+            np.testing.assert_allclose(np.asarray(lx), np.asarray(lp),
+                                       atol=2e-5, rtol=2e-4)
+
     def test_pair_batcher_end_to_end(self, eight_devices):
         import optax
 
