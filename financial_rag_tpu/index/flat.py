@@ -53,6 +53,23 @@ def _donated_scatter(vectors, valid, slots, payload, weights):
     return vectors.at[slots].set(payload), valid.at[slots].set(weights)
 
 
+@partial(jax.jit, static_argnames=("dtype_name",))
+def _encode_payload_device(v, dtype_name: str):
+    """On-device normalize + storage encode: the ingest path hands encoder
+    outputs straight to the index without a device->host->device round trip
+    (2x the corpus bytes through the tunnel per document, and the host wait
+    serialized the whole pipeline). Mirrors persist.encode_payload."""
+    from financial_rag_tpu.ops.topk import INT8_SCALE
+
+    v = v.astype(jnp.float32)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    if dtype_name == "int8":
+        m = jnp.maximum(jnp.abs(v).max(axis=1), 1e-12)
+        q = jnp.clip(jnp.round(v * (INT8_SCALE / m[:, None])), -127, 127).astype(jnp.int8)
+        return q, (m / INT8_SCALE).astype(jnp.float32)
+    return v.astype(dtype_name), jnp.ones(v.shape[0], jnp.float32)
+
+
 class FlatIndex:
     """Exact / near-exact cosine top-k over an HBM-resident corpus."""
 
@@ -91,14 +108,22 @@ class FlatIndex:
     def count(self) -> int:
         return len(self._slot_of)
 
-    def upsert(self, ids: Sequence[int], vectors: np.ndarray) -> None:
+    # class flag (not hasattr — wrappers delegate attribute lookups): the
+    # ingest pipeline hands device-resident encoder outputs straight to
+    # upsert(), skipping the device->host->device round trip
+    supports_device_upsert = True
+
+    def upsert(self, ids: Sequence[int], vectors) -> None:
         """Insert or overwrite vectors. ids: int64 child ids, vectors [N, D]
-        (L2-normalized by the encoder; normalized again here defensively)."""
-        vectors = np.asarray(vectors, np.float32)
+        host numpy OR device jax.Array (L2-normalized by the encoder;
+        normalized again on the storage path defensively)."""
+        on_device = isinstance(vectors, jax.Array)
+        if not on_device:
+            vectors = np.asarray(vectors, np.float32)
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-12)
         assert vectors.ndim == 2 and vectors.shape[1] == self.dim, vectors.shape
         assert len(ids) == vectors.shape[0]
-        norms = np.linalg.norm(vectors, axis=1, keepdims=True)
-        vectors = vectors / np.maximum(norms, 1e-12)
 
         with self._lock:
             slots = np.empty(len(ids), np.int32)
@@ -113,7 +138,7 @@ class FlatIndex:
                     self._slot_of[cid] = slot
                     self._ids[slot] = cid
                 slots[j] = slot
-            self._scatter(slots, vectors, valid=1.0)
+            self._scatter(slots, vectors, valid=1.0, on_device=on_device)
 
     def delete(self, ids: Sequence[int]) -> int:
         """Invalidate ids; returns number removed. Slots are not reused
@@ -214,19 +239,26 @@ class FlatIndex:
 
     # ------------------------------------------------------------ internals
 
-    def _scatter(self, slots: np.ndarray, vectors: np.ndarray, valid: float) -> None:
-        from financial_rag_tpu.index.persist import encode_payload, pad_pow2
+    def _scatter(self, slots: np.ndarray, vectors, valid: float,
+                 on_device: bool = False) -> None:
+        from financial_rag_tpu.index.persist import (
+            dtype_name, encode_payload, pad_pow2)
 
         if not len(slots):  # empty ingest batch (document with no children)
             return
-        payload, weights = encode_payload(vectors, self.dtype)
+        if on_device:
+            payload, weights = _encode_payload_device(vectors, dtype_name(self.dtype))
+            if valid != 1.0:
+                weights = weights * valid
+        else:
+            payload, weights = encode_payload(vectors, self.dtype)
+            weights = jnp.asarray(weights * valid)
         # donated scatter: without donation the .at[].set copy-on-write
         # doubles peak HBM during ingest (fatal at 10M-chunk scale — the
         # corpus alone is half of a v5e's 16GB)
         slots, payload, weights = pad_pow2(slots, payload, weights)
         self._vectors, self._valid = _donated_scatter(
-            self._vectors, self._valid, jnp.asarray(slots), payload,
-            jnp.asarray(weights * valid))
+            self._vectors, self._valid, jnp.asarray(slots), payload, weights)
 
     def _grow(self) -> None:
         new_cap = self.capacity * 2

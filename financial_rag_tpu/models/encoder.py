@@ -49,11 +49,13 @@ class Encoder:
     """One checkpoint, batched encode to unit vectors."""
 
     device_backed = True   # JAX forward: micro-batching coalesces dispatches
-    # class flag, NOT hasattr: BatchingEncoder delegates attribute lookups
+    # class flags, NOT hasattr: BatchingEncoder delegates attribute lookups
     # to its inner encoder, so hasattr(wrapper, "encode_begin") is True but
     # calling it would bypass the cross-request batching queue; wrappers
     # and subclasses opt in/out explicitly
     supports_encode_begin = True
+    accepts_seqs = True         # encode_begin(seqs=...) pretokenized input
+    supports_device_out = True  # encode_begin_device exists
 
     def __init__(
         self,
@@ -151,41 +153,21 @@ class Encoder:
                 return b
         return self.batch_size
 
-    def encode_begin(self, texts: Sequence[str]):
+    def encode_begin(self, texts: Sequence[str], *, seqs=None):
         """Tokenize and ENQUEUE every device batch; returns a zero-arg
         materializer producing [N, dim] float32 unit vectors (input order).
 
         Dispatch is async, so the device pipelines all batches back-to-back
         and per-call latency (~50ms through a tunneled chip) amortizes
         across the sweep; callers that drive several encoders can begin
-        them all before materializing any (DualEncoder.encode_all)."""
-        if not len(texts):
+        them all before materializing any (DualEncoder.encode_all).
+
+        ``seqs``: precomputed packed (ids [N, max_seq_len], lens [N]) from
+        this tokenizer's encode_many_packed — lets an ensemble sharing one
+        vocab tokenize each text once instead of once per encoder."""
+        pending = self._dispatch_batches(texts, seqs)
+        if pending is None:
             return lambda: np.zeros((0, self.dim), np.float32)
-
-        with time_block("encoder.tokenize"):
-            seqs = [self.tokenizer.encode(t, max_len=self.max_seq_len) for t in texts]
-        buckets: Dict[int, List[int]] = {}
-        for i, s in enumerate(seqs):
-            buckets.setdefault(self._bucket(len(s)), []).append(i)
-
-        pad_id = self.tokenizer.pad_id
-        pending = []
-        for seq_len, idxs in sorted(buckets.items()):
-            for lo in range(0, len(idxs), self.batch_size):
-                batch_idx = idxs[lo: lo + self.batch_size]
-                n = len(batch_idx)
-                bsz = self._batch_bucket(n)
-                ids = np.full((bsz, seq_len), pad_id, np.int32)
-                mask = np.zeros((bsz, seq_len), np.int32)
-                for r, i in enumerate(batch_idx):
-                    s = seqs[i][:seq_len]
-                    ids[r, : len(s)] = s
-                    mask[r, : len(s)] = 1
-                # pad rows must be non-empty for the masked ops; mark 1 token
-                mask[n:, 0] = 1
-                with time_block(f"encoder.forward_s{seq_len}"):
-                    emb = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask))
-                pending.append((batch_idx, n, emb))
 
         def materialize() -> np.ndarray:
             out = np.zeros((len(texts), self.dim), np.float32)
@@ -194,6 +176,63 @@ class Encoder:
             return out
 
         return materialize
+
+    def encode_begin_device(self, texts: Sequence[str], *, seqs=None):
+        """Like encode_begin but the materializer returns a DEVICE [N, dim]
+        array in input order (an on-device gather; nothing crosses the
+        host boundary). Feeds device-direct index upserts during ingest."""
+        pending = self._dispatch_batches(texts, seqs)
+        if pending is None:
+            return lambda: jnp.zeros((0, self.dim), jnp.float32)
+
+        def materialize_device():
+            if len(pending) == 1:
+                batch_idx, n, emb = pending[0]
+                embs, order = emb[:n], batch_idx
+            else:
+                embs = jnp.concatenate([emb[:n] for _, n, emb in pending])
+                order = np.concatenate([bi for bi, _, _ in pending])
+            inv = np.empty(len(order), np.int32)
+            inv[order] = np.arange(len(order), dtype=np.int32)
+            return embs[jnp.asarray(inv)]
+
+        return materialize_device
+
+    def _dispatch_batches(self, texts: Sequence[str], seqs=None):
+        """Tokenize + enqueue every device forward; returns a list of
+        (batch_idx, n_valid, device_emb) or None for an empty input."""
+        if not len(texts):
+            return None
+        if seqs is None:
+            with time_block("encoder.tokenize"):
+                seqs = self.tokenizer.encode_many_packed(texts, max_len=self.max_seq_len)
+        all_ids, all_lens = seqs
+
+        order = np.argsort(all_lens, kind="stable")
+        bucket_of = np.asarray([self._bucket(int(ln)) for ln in all_lens])
+        pending = []
+        lo = 0
+        n_total = len(texts)
+        while lo < n_total:
+            seq_len = int(bucket_of[order[lo]])
+            hi = lo
+            while hi < n_total and bucket_of[order[hi]] == seq_len and hi - lo < self.batch_size:
+                hi += 1
+            batch_idx = order[lo:hi]
+            lo = hi
+            n = len(batch_idx)
+            bsz = self._batch_bucket(n)
+            ids = np.full((bsz, seq_len), self.tokenizer.pad_id, np.int32)
+            mask = np.zeros((bsz, seq_len), np.int32)
+            ids[:n] = all_ids[batch_idx, :seq_len]
+            mask[:n] = np.arange(seq_len)[None, :] < np.minimum(
+                all_lens[batch_idx], seq_len)[:, None]
+            # pad rows must be non-empty for the masked ops; mark 1 token
+            mask[n:, 0] = 1
+            with time_block(f"encoder.forward_s{seq_len}"):
+                emb = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            pending.append((batch_idx, n, emb))
+        return pending
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         """Encode texts -> [N, dim] float32 unit vectors (input order)."""
@@ -287,10 +326,56 @@ class DualEncoder:
         self.encoders = encoders
         self.fused_weights = fused_weights
         self.cache = cache  # optional utils.embed_cache.EmbeddingCache (query side)
+        self._shared_tok = None  # lazily resolved; False = not shareable
 
     @property
     def names(self) -> List[str]:
         return list(self.encoders.keys())
+
+    def _shared_tokenizer(self):
+        """The one tokenizer all member encoders agree on, or None. BAAI
+        bge-small and GTE-small ship byte-identical bert-uncased vocabs, so
+        the ensemble tokenizes each text ONCE (the per-encoder tokenize was
+        half the ingest host time)."""
+        if self._shared_tok is None:
+            toks = []
+            for enc in self.encoders.values():
+                if not getattr(type(enc), "accepts_seqs", False):
+                    toks = None
+                    break
+                toks.append((enc.tokenizer, enc.max_seq_len))
+            ok = bool(toks) and all(
+                s == toks[0][1] and (t is toks[0][0] or t.vocab == toks[0][0].vocab)
+                for t, s in toks)
+            self._shared_tok = toks[0] if ok else False
+        return self._shared_tok or None
+
+    def encode_all_begin(self, texts: Sequence[str], *,
+                         device_out: bool = False) -> Dict[str, object]:
+        """Begin every encoder (tokenizing once when vocabs agree) WITHOUT
+        materializing: {model_name: materializer-or-array}. Callers overlap
+        host work with the in-flight device forwards, then materialize.
+        device_out: materializers yield device arrays (for device-direct
+        index upserts); encoders without the begin-split still return host
+        arrays — callers must handle both."""
+        seqs = None
+        shared = self._shared_tokenizer()
+        if shared is not None and len(texts):
+            tok, max_len = shared
+            with time_block("encoder.tokenize"):
+                seqs = tok.encode_many_packed(texts, max_len=max_len)
+        out: Dict[str, object] = {}
+        for name, enc in self.encoders.items():
+            t = type(enc)
+            if device_out and getattr(t, "supports_device_out", False):
+                out[name] = enc.encode_begin_device(texts, seqs=seqs)
+            elif getattr(t, "supports_encode_begin", False):
+                out[name] = (enc.encode_begin(texts, seqs=seqs)
+                             if getattr(t, "accepts_seqs", False)
+                             else enc.encode_begin(texts))
+            else:
+                out[name] = enc.encode(texts)
+        return out
 
     def encode_all(self, texts: Sequence[str], use_cache: bool = False) -> Dict[str, np.ndarray]:
         """Per-model embeddings: {model_name: [N, D]}. use_cache routes
@@ -299,10 +384,7 @@ class DualEncoder:
             # begin every raw Encoder before materializing any, so both
             # models' device batches pipeline back-to-back (wrapped/host
             # encoders lack the split and run inline)
-            begun = {name: (enc.encode_begin(texts)
-                            if getattr(type(enc), "supports_encode_begin", False)
-                            else enc.encode(texts))
-                     for name, enc in self.encoders.items()}
+            begun = self.encode_all_begin(texts)
             return {name: (v() if callable(v) else v) for name, v in begun.items()}
         # cache path: find each encoder's misses first, BEGIN all misses,
         # then materialize — same dispatch overlap as the uncached branch

@@ -24,16 +24,19 @@ _build_attempted = False
 
 
 def _try_build() -> None:
+    """Run make once per process even when the .so exists: a stale library
+    (sources newer than the build) would load without newly added symbols;
+    make is a no-op when up to date."""
     global _build_attempted
-    if _build_attempted or _LIB_PATH.exists():
+    if _build_attempted:
         return
     _build_attempted = True
     try:
         subprocess.run(["make", "-C", str(_DIR)], check=True,
                        capture_output=True, text=True, timeout=120)
-        log.info("built native library %s", _LIB_PATH)
     except (subprocess.SubprocessError, FileNotFoundError) as e:
-        log.warning("native build unavailable (%s); using Python fallbacks", e)
+        if not _LIB_PATH.exists():
+            log.warning("native build unavailable (%s); using Python fallbacks", e)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -66,8 +69,31 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bm25_num_docs.argtypes = [ctypes.c_void_p]
     lib.bm25_score.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_float)]
+
+    lib.ft_word_count.restype = ctypes.c_int64
+    lib.ft_word_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.ft_word_starts.restype = ctypes.c_int64
+    lib.ft_word_starts.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
     _lib = lib
     return lib
+
+
+def native_word_count(text_bytes: bytes) -> int:
+    """\\w+ run count for ASCII bytes (exact re.findall(r"\\w+") count)."""
+    lib = _load()
+    return lib.ft_word_count(text_bytes, len(text_bytes))
+
+
+def native_word_starts(text_bytes: bytes) -> np.ndarray:
+    """Byte offsets of \\w+ run starts for ASCII bytes (int64 array)."""
+    lib = _load()
+    # words are separated by >=1 non-word byte, so at most ceil(len/2)+1
+    cap = len(text_bytes) // 2 + 1
+    out = np.empty(cap, np.int64)
+    n = lib.ft_word_starts(text_bytes, len(text_bytes),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    return out[:n]
 
 
 def available() -> bool:
@@ -102,7 +128,11 @@ class NativeWordPiece:
         n = self._lib.wp_tokenize(self._handle, raw, len(raw), out, max_out)
         return list(out[:n])
 
-    def tokenize_ids_batch(self, texts: Sequence[str], max_out: int = 510) -> List[List[int]]:
+    def tokenize_ids_batch_packed(self, texts: Sequence[str], max_out: int = 510):
+        """One C++ call for the whole batch; returns the raw (ids [n,
+        max_out] int32 zero-padded, lens [n] int32) matrices — callers that
+        pack fixed-shape device batches consume these without ever
+        materializing per-text Python lists."""
         enc = [t.encode("ascii") for t in texts]
         offsets = np.zeros(len(enc) + 1, np.int64)
         np.cumsum([len(e) for e in enc], out=offsets[1:])
@@ -114,7 +144,11 @@ class NativeWordPiece:
             self._handle, blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-        return [out[i, : lens[i]].tolist() for i in range(n)]
+        return out, lens
+
+    def tokenize_ids_batch(self, texts: Sequence[str], max_out: int = 510) -> List[List[int]]:
+        out, lens = self.tokenize_ids_batch_packed(texts, max_out)
+        return [out[i, : lens[i]].tolist() for i in range(len(texts))]
 
 
 class NativeBM25:

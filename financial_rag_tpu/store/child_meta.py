@@ -47,6 +47,10 @@ class ChildMetaStore:
         if conn is None:
             conn = sqlite3.connect(self.db_path)
             conn.execute("PRAGMA journal_mode=WAL")
+            # WAL + NORMAL: fsync per checkpoint, not per commit — a crash
+            # loses at most the tail transactions, never corrupts; ingest
+            # commits were ~30% of host time at FULL
+            conn.execute("PRAGMA synchronous=NORMAL")
             self._local.conn = conn
         return conn
 

@@ -11,13 +11,14 @@ raw encoder ceiling to see the non-encode overhead.
 
 Writes one BENCH-style JSON line (BENCH_INGEST.json artifact).
 
-Measured on the tunneled v5e: 433 children/s/chip (200-child documents;
-was 277 before Encoder.encode switched to dispatch-all-then-materialize,
-which amortizes the tunnel's ~50ms per-call latency across the sweep).
-The raw dual-encoder ceiling is ~1.75k children/s (3.5k chunks/s halved
-for two models); the remaining gap is per-document serial host stages
-(SQLite rows, chunk logs) and the first dispatch's round trip — both
-shrink on direct-attached chips.
+Measured on the tunneled v5e: ~3.0k children/s/chip (200-child docs;
+round-2 was 433, round-1 277). The round-3 jump came from making the
+host stages overlap the device encode (ingest_paths: begin doc N+1 /
+finish doc N around doc N's in-flight forwards), device-direct index
+upserts (encoder output feeds the donated scatter without a host round
+trip), one shared C++ batch tokenize for both encoders, and O(text)
+chunking (native word counts + carried per-chunk counts instead of
+re-scanning accumulated text per sentence).
 """
 
 import json
@@ -59,7 +60,7 @@ def main():
 
     setup_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
-    n_docs = args.docs or (6 if on_tpu else 2)
+    n_docs = args.docs or (13 if on_tpu else 2)
 
     cfg = ModelConfig(name="bge-small-shape", hidden_size=384, num_layers=12,
                       num_heads=12, intermediate_size=1536, vocab_size=30522,
@@ -104,11 +105,12 @@ def main():
             paths.append(p)
 
         pipe.ingest_extracted_json(paths[0], "warmup")   # compile/warm
+        pipe.flush()
         warm_children = indexes["baai"].count()
 
         t0 = time.time()
-        for d, p in enumerate(paths[1:], 1):
-            pipe.ingest_extracted_json(p, f"doc{d}")
+        pipe.ingest_paths([(p, f"doc{d}") for d, p in enumerate(paths[1:], 1)])
+        pipe.flush()   # device sync: count upserts in-flight at loop exit
         dt = time.time() - t0
         total_children = indexes["baai"].count() - warm_children
 

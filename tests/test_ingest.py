@@ -118,6 +118,72 @@ class TestChunker:
         texts = ch.split_child_texts(blob)
         assert len(texts) > 1
 
+    def test_incremental_counts_match_naive_sentence_pass(self):
+        """The O(text) incremental word counting must be bit-identical to
+        the naive re-scan it replaced (same split decisions, same
+        token_counts). Mixed punctuation exercises the \\w+ vs whitespace
+        split divergence in overlap tails."""
+        import re
+
+        cfg = ChunkingConfig()
+        cfg.child_max_tokens = 25
+        cfg.child_overlap_words = 4
+        ch = ParentChildChunker(cfg)
+        sent_re = re.compile(r"[.!?]\s+")
+
+        def naive_sentence_pass(text):
+            out, cur = [], ""
+            for sent in sent_re.split(text):
+                if not sent:
+                    continue
+                merged = sent if not cur else f"{cur} {sent}"
+                if token_estimate(merged) > cfg.child_max_tokens and cur:
+                    out.append(cur.strip())
+                    tail = cur.split()[-cfg.child_overlap_words:]
+                    cur = (" ".join(tail) + " " + sent).strip()
+                else:
+                    cur = merged
+            if cur:
+                out.append(cur.strip())
+            return [c for c in out if c]
+
+        texts = [
+            "Rent is 42,800 (year one). Lock-in: 36 months! GST @18%? "
+            "The lessor — M/s. Alpha & Co. — shall pay; the lessee won't. " * 8,
+            "a.b.c d-e-f g_h_i. " * 40,
+            "One two three. " * 60,
+        ]
+        for t in texts:
+            assert ch._sentence_pass(t) == naive_sentence_pass(t)
+
+    def test_carried_word_counts_match_full_rescan(self):
+        """split_child_counted carries word counts through every pass;
+        they must equal a fresh word_count() of each emitted chunk."""
+        from financial_rag_tpu.ingest.chunker import word_count
+
+        cfg = ChunkingConfig()
+        cfg.child_max_tokens = 25
+        cfg.child_overlap_words = 4
+        ch = ParentChildChunker(cfg)
+        cases = [
+            "Rent: 42,800.00 (year one). Lock-in 36 months! GST @18%? " * 10,
+            "\n".join(f"row{i} | value-{i} | 100.{i}" for i in range(30)),  # line pass
+            " ".join(f"w{i}" for i in range(200)),                           # hard pass
+        ]
+        for text in cases:
+            pairs = ch.split_child_counted(text)
+            assert pairs and all(wc == word_count(c) for c, wc in pairs)
+            assert [c for c, _ in pairs] == ch.split_child_texts(text)
+
+    def test_parent_token_count_matches_full_rescan(self):
+        cfg = ChunkingConfig()
+        cfg.parent_max_tokens = 60
+        ch = ParentChildChunker(cfg)
+        blocks = [{"content": f"Amount {i}: 1,234.56 (incl. GST) — due now. " * 3,
+                   "page": i} for i in range(8)]
+        for p in ch.make_parents(blocks, "doc"):
+            assert p.token_count == token_estimate(p.content)
+
     def test_full_chunk_ids_unique(self):
         ch = ParentChildChunker()
         blocks = [{"content": self._prose(40), "page": 0}]

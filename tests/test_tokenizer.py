@@ -119,3 +119,27 @@ def test_fuzz_parity_unicode_mix(tok, hf_tok):
         text = " ".join(rnd.choices(pieces, k=rnd.randint(1, 12)))
         assert tok.encode(text, max_len=128) == hf_tok.encode(
             text, truncation=True, max_length=128), repr(text)
+
+
+def test_encode_many_matches_per_text(tok):
+    """Batch paths (native C++ batch + Python fallback mix) must be
+    identical to per-text encode(), including truncation and the packed
+    fixed-shape variant the encoder consumes."""
+    texts = [
+        "Invoice total 42,800.00 incl. GST @18% due 2023-04-01",
+        "café résumé naïve — 北京 東京都",          # non-ASCII -> Python path
+        "plain ascii rent lease lock-in period " * 40,  # forces truncation
+        "",
+        "[CLS] bracketed text avoids the native path",
+        "short",
+    ]
+    max_len = 64
+    expected = [tok.encode(t, max_len=max_len) for t in texts]
+    assert tok.encode_many(texts, max_len=max_len) == expected
+
+    ids, lens = tok.encode_many_packed(texts, max_len=max_len)
+    assert ids.shape == (len(texts), max_len) and ids.dtype == np.int32
+    for i, e in enumerate(expected):
+        assert lens[i] == len(e)
+        assert ids[i, : len(e)].tolist() == e
+        assert (ids[i, len(e):] == tok.pad_id).all()
