@@ -187,7 +187,12 @@ class IVFIndex:
         self._storage = jnp.zeros((nlist, self.list_size, dim), dtype)
         self._valid = jnp.zeros((nlist, self.list_size), jnp.float32)
         self._ids = np.zeros((nlist, self.list_size), np.int64)
-        self._fill = np.zeros(nlist, np.int32)              # next free slot per list
+        self._fill = np.zeros(nlist, np.int32)              # high-water slot per list
+        # tombstoned slots awaiting reuse, per list: delete pushes, upsert
+        # pops before advancing the high-water mark — delete-heavy churn
+        # keeps occupancy bounded instead of forcing list growth or a full
+        # retrain (VERDICT r2 #7)
+        self._free: Dict[int, List[int]] = {}
         self._loc_of: Dict[int, Tuple[int, int]] = {}       # child_id -> (list, slot)
         self._lock = threading.Lock()
         # keyed by (k, nprobe, list_size); storage rides as jit args, so
@@ -247,6 +252,10 @@ class IVFIndex:
                 else:
                     li = sl = None
                     for c in cand[j]:
+                        free = self._free.get(int(c))
+                        if free:
+                            li, sl = int(c), free.pop()
+                            break
                         if self._fill[c] < self.list_size:
                             li, sl = int(c), int(self._fill[c])
                             self._fill[c] += 1
@@ -303,6 +312,7 @@ class IVFIndex:
             self._valid = jnp.zeros_like(self._valid)
             self._ids[:] = 0
             self._fill[:] = 0
+            self._free = {}
             self._loc_of = {}
         self.train(vecs, iters=iters, seed=seed)
         self.upsert(ids, vecs)
@@ -317,6 +327,7 @@ class IVFIndex:
                     lists.append(loc[0])
                     slots.append(loc[1])
                     self._ids[loc[0], loc[1]] = 0
+                    self._free.setdefault(loc[0], []).append(loc[1])
             if lists:
                 self._valid = self._valid.at[
                     jnp.asarray(np.asarray(lists, np.int32)),
@@ -357,9 +368,15 @@ class IVFIndex:
 
         return run
 
-    def search(self, queries: np.ndarray, top_k: int, *, nprobe: Optional[int] = None,
-               chunk: int = 16) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (child_ids [B, k] int64, scores [B, k] f32)."""
+    def search_begin(self, queries: np.ndarray, top_k: int, *,
+                     nprobe: Optional[int] = None, chunk: int = 16):
+        """Dispatch-only search: enqueue every device chunk and return a
+        zero-arg materializer producing (ids [B, k] int64, scores [B, k]
+        f32). Callers driving several independent IVF programs (sharded
+        partitions, dual-model indexes) begin them ALL before materializing
+        any — the round-trip latencies overlap instead of serializing
+        (VERDICT r2 #6; same discipline as FlatIndex.search_begin and
+        Encoder.encode_begin)."""
         assert self.is_trained
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
@@ -367,15 +384,15 @@ class IVFIndex:
         b = queries.shape[0]
         nprobe = nprobe or self.nprobe
         if not self._loc_of:
-            return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
+            return lambda: (np.zeros((b, top_k), np.int64),
+                            np.full((b, top_k), -np.inf, np.float32))
 
         # pad small request batches to 8 rather than the full serving chunk:
         # every padded row streams nprobe full tiles, so a 3-variant query
         # padded to 16 would pay 5x its probe traffic
         if b <= 8 < chunk:
             chunk = 8
-        out_ids = np.zeros((b, top_k), np.int64)
-        out_scores = np.full((b, top_k), -np.inf, np.float32)
+        pending = []   # (lo, pad, device (s, li, sl))
         for lo in range(0, b, chunk):
             qa = queries[lo: lo + chunk]
             pad = 0
@@ -394,18 +411,31 @@ class IVFIndex:
                 if run is None:
                     run = self._build_search(top_k, nprobe)
                     self._search_fns[key] = run
-                s, li, sl = run(jnp.asarray(qa), self._storage, self._valid,
-                                self.centroids)
-            s, li, sl = np.array(s), np.array(li), np.array(sl)
-            if pad:
-                s, li, sl = s[:-pad], li[:-pad], sl[:-pad]
-            ids = self._ids[li, sl]
-            bad = s < -100.0
-            ids[bad] = 0
-            s[bad] = -np.inf
-            out_ids[lo: lo + len(ids)] = ids
-            out_scores[lo: lo + len(s)] = s
-        return out_ids, out_scores
+                out = run(jnp.asarray(qa), self._storage, self._valid,
+                          self.centroids)
+            pending.append((lo, pad, out))
+
+        def materialize() -> Tuple[np.ndarray, np.ndarray]:
+            out_ids = np.zeros((b, top_k), np.int64)
+            out_scores = np.full((b, top_k), -np.inf, np.float32)
+            for lo, pad, (s, li, sl) in pending:
+                s, li, sl = np.array(s), np.array(li), np.array(sl)
+                if pad:
+                    s, li, sl = s[:-pad], li[:-pad], sl[:-pad]
+                ids = self._ids[li, sl]
+                bad = s < -100.0
+                ids[bad] = 0
+                s[bad] = -np.inf
+                out_ids[lo: lo + len(ids)] = ids
+                out_scores[lo: lo + len(s)] = s
+            return out_ids, out_scores
+
+        return materialize
+
+    def search(self, queries: np.ndarray, top_k: int, *, nprobe: Optional[int] = None,
+               chunk: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (child_ids [B, k] int64, scores [B, k] f32)."""
+        return self.search_begin(queries, top_k, nprobe=nprobe, chunk=chunk)()
 
     # ------------------------------------------------------------- tuning
 
@@ -503,4 +533,9 @@ class IVFIndex:
             int(idx._ids[li, sl]): (li, sl)
             for li, sl in zip(*np.nonzero(valid > 0))
         }
+        # rebuild per-list free lists: tombstoned slots below the
+        # high-water mark (valid == 0, slot < fill) are reusable
+        for li, sl in zip(*np.nonzero(valid <= 0)):
+            if sl < idx._fill[li]:
+                idx._free.setdefault(int(li), []).append(int(sl))
         return idx

@@ -209,6 +209,38 @@ class TestIVFIndex:
             len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(got_ids_full, ref_ids)])
         assert recall_full >= 0.99, recall_full
 
+    def test_search_begin_matches_search(self):
+        """Dispatch-only search (the sharded fan-out overlap path): two
+        programs begun before either materializes, both exactly equal to
+        the blocking search()."""
+        rng = np.random.default_rng(77)
+        d, n, k = 64, 1500, 8
+        centers = _unit(rng, 8, d)
+        x = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        ids = np.arange(1, 1 + n, dtype=np.int64)
+        idx = IVFIndex(dim=d, nlist=8, list_size=256, nprobe=8)
+        idx.train(x[:400], iters=6)
+        idx.upsert(ids, x)
+
+        q1, q2 = x[:5], x[100:103]
+        m1 = idx.search_begin(q1, k)
+        m2 = idx.search_begin(q2, k)   # dispatched before m1 materializes
+        ids2, s2 = m2()
+        ids1, s1 = m1()
+        ref1 = idx.search(q1, k)
+        ref2 = idx.search(q2, k)
+        np.testing.assert_array_equal(ids1, ref1[0])
+        np.testing.assert_array_equal(ids2, ref2[0])
+        np.testing.assert_allclose(s1, ref1[1], rtol=1e-6)
+        np.testing.assert_allclose(s2, ref2[1], rtol=1e-6)
+
+        # empty-index begin returns the empty materializer
+        empty = IVFIndex(dim=d, nlist=8, list_size=128, nprobe=4)
+        empty.train(x[:200], iters=2)
+        eids, es = empty.search_begin(q1, k)()
+        assert eids.shape == (5, k) and np.all(es == -np.inf)
+
     def test_overflow_fallback(self, rng):
         d = 64
         idx = IVFIndex(dim=d, nlist=2, list_size=128, nprobe=2)
