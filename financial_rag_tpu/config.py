@@ -219,9 +219,26 @@ class ServingConfig:
     # flight forms the next batch); microbatch_wait_ms=0 means NO artificial
     # gather wait — the timed wait was a measured regression (round 2:
     # 0.589x QPS, p95 4.3x) and exists only as an opt-in knob.
-    microbatch: bool = field(default_factory=lambda: _env("SERVE_MICROBATCH", False))
+    # ON by default since round 3: the adaptive bypass IS thread-per-request
+    # at concurrency <= microbatch_direct, and coalesces only the overflow —
+    # measured never-a-regression at low load and 1.9x at 64 threads
+    # (BENCH_SERVING.json). SERVE_MICROBATCH=0 restores pure per-request.
+    microbatch: bool = field(default_factory=lambda: _env("SERVE_MICROBATCH", True))
     microbatch_wait_ms: float = field(default_factory=lambda: _env("MICROBATCH_WAIT_MS", 0.0))
-    microbatch_max: int = field(default_factory=lambda: _env("MICROBATCH_MAX", 64))
+    # fused-batch row cap: one STATIC padded shape (batcher._pad_to_bucket).
+    # Swept on the tunneled v5e: the sweep's cost is corpus streaming, so
+    # query-rows/s GROWS with the bucket (64 rows -> 5.2k rows/s, 192 ->
+    # 10.9k, 256 -> 14.6k at 4-deep pipelining); 192 covers 64 concurrent
+    # requests x 3 variants while keeping the light-load pad waste bounded
+    microbatch_max: int = field(default_factory=lambda: _env("MICROBATCH_MAX", 192))
+    # fused sweeps allowed in flight at once: the pipeline-depth /
+    # batch-size trade (batcher.MicroBatcher docstring); swept on-chip
+    microbatch_inflight: int = field(default_factory=lambda: _env("MICROBATCH_INFLIGHT", 4))
+    # adaptive-bypass lanes: submissions run direct (thread-per-request
+    # semantics, zero handoff) until this many are in flight, then pool
+    # into coalesced batches — the "never a regression" policy
+    # (batcher.MicroBatcher docstring); 0 = pure coalescing
+    microbatch_direct: int = field(default_factory=lambda: _env("MICROBATCH_DIRECT", 32))
 
 
 @dataclass

@@ -232,7 +232,9 @@ class Runtime:
 
             sweep_batcher = MultiIndexBatcher(
                 indexes, max_queries=cfg.serving.microbatch_max,
-                max_wait_ms=cfg.serving.microbatch_wait_ms)
+                max_wait_ms=cfg.serving.microbatch_wait_ms,
+                inflight=cfg.serving.microbatch_inflight,
+                direct=cfg.serving.microbatch_direct)
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")
@@ -302,7 +304,19 @@ class Runtime:
             source_dir=data_dir / self.config.ingest.source_dir,
             extracted_dir=data_dir / self.config.ingest.extracted_dir,
             on_sweep_complete=lambda: (self.tune_indexes(),
-                                       self.save_indexes(data_dir)))
+                                       self.save_indexes(data_dir),
+                                       self.warm_sweeps()))
+
+    def warm_sweeps(self) -> None:
+        """Precompile both fused-sweep shapes (direct bucket + max batch)
+        after ingest, so no serving request ever stalls on a compile.
+        Storage capacity is part of the compiled shape — re-run after
+        sweeps that grew the index."""
+        if self.hybrid.sweep_batcher is not None:
+            try:
+                self.hybrid.sweep_batcher.warmup(self.config.fusion.per_query_k)
+            except Exception:  # noqa: BLE001 — warmup must never break ingest
+                log.exception("sweep warmup failed")
 
     def make_app(self, processor=None, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.app import create_app

@@ -66,17 +66,49 @@ def _pad_to_bucket(cat: np.ndarray, bucket: int) -> np.ndarray:
 
 
 class _Slot:
-    __slots__ = ("event", "result", "error", "weight", "payload")
+    __slots__ = ("event", "result", "error", "weight", "payload", "on_done")
 
-    def __init__(self, payload, weight: int) -> None:
+    def __init__(self, payload, weight: int, on_done=None) -> None:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
         self.weight = weight
         self.payload = payload
+        self.on_done = on_done
 
     def wait(self):
         self.event.wait()
+        if self.on_done is not None:
+            self.on_done()
+            self.on_done = None
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+
+class _DirectSlot:
+    """Adaptive-bypass slot: the fused call was already DISPATCHED in the
+    submitting thread (no dispatcher handoff); ``wait`` materializes it in
+    the calling thread. ``on_done`` decrements the active-request count."""
+
+    __slots__ = ("_thunk", "_on_done", "_done", "result", "error")
+
+    def __init__(self, thunk, on_done) -> None:
+        self._thunk = thunk
+        self._on_done = on_done
+        self._done = False
+        self.result = None
+        self.error: Optional[Exception] = None
+
+    def wait(self):
+        if not self._done:
+            try:
+                self.result = self._thunk()[0]
+            except Exception as e:  # noqa: BLE001 — propagate to the waiter
+                self.error = e
+            finally:
+                self._done = True
+                self._on_done()
         if self.error is not None:
             raise self.error
         return self.result
@@ -98,7 +130,8 @@ class MicroBatcher:
     def __init__(self, fn: Optional[Callable[[List[Any]], List[Any]]] = None, *,
                  fn_begin: Optional[Callable[[List[Any]], Callable[[], List[Any]]]] = None,
                  max_items: int = 64, max_wait_ms: float = 0.0,
-                 finishers: int = 8, name: str = "batch") -> None:
+                 finishers: int = 8, inflight: Optional[int] = None,
+                 direct: int = 0, name: str = "batch") -> None:
         assert fn is not None or fn_begin is not None
         self.fn = fn
         self.fn_begin = fn_begin
@@ -113,20 +146,55 @@ class MicroBatcher:
                                          thread_name_prefix=f"mb-fin-{name}")
                       if fn_begin is not None else None)
         # bound the number of fused calls in flight so a dispatcher sprint
-        # can't build an unbounded device queue
-        self._inflight = threading.Semaphore(max(finishers, 1) * 2)
+        # can't build an unbounded device queue. This is ALSO the batching
+        # throttle: the worker acquires a slot BEFORE gathering, so a small
+        # bound makes submissions pool into bigger fused batches while the
+        # pipeline is full (fewer RPCs per query, each amortized further) —
+        # the knob trades pipeline depth at low load for coalescing at high
+        # load. Swept on the real chip (scripts/profile_serving.py).
+        if inflight is None:
+            inflight = max(finishers, 1) * 2
+        self._inflight = threading.Semaphore(max(inflight, 1))
+        # ADAPTIVE BYPASS (the "never a regression" policy): while the
+        # number of ACTIVE requests (submitted, not yet waited out) is at
+        # most `direct`, a submission runs direct — the fused call
+        # dispatches in the submitting thread and materializes at wait(),
+        # exactly thread-per-request semantics with zero handoff latency.
+        # Above that concurrency, everything pools into coalesced batches:
+        # a direct call spends a whole tunnel RPC slot on ONE request,
+        # while a coalesced call carries ~20; letting direct calls keep
+        # firing under load steals the tunnel's call budget (measured:
+        # queue-emptiness gating left 64-thread load 64% direct and QPS at
+        # 290; concurrency gating coalesces the same load fully). At or
+        # below `direct` concurrency the policy IS thread-per-request, so
+        # it cannot regress against it.
+        self.direct_calls = 0
+        self.direct_limit = direct if fn_begin is not None else 0
+        self._active = 0
+        self._active_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._loop, name=f"microbatch-{name}", daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------- submit
 
-    def submit_begin(self, payload, weight: int = 1) -> _Slot:
+    def submit_begin(self, payload, weight: int = 1):
         """Enqueue without waiting; ``slot.wait()`` blocks for the result.
         Lets a caller feed several batchers before waiting on any."""
         if self._closed:
             raise RuntimeError(f"MicroBatcher {self.name} is closed")
-        slot = _Slot(payload, max(weight, 1))
+        with self._active_lock:
+            self._active += 1
+            go_direct = self._active <= self.direct_limit
+        if go_direct:
+            try:
+                thunk = self.fn_begin([payload])
+            except Exception:
+                self._leave()
+                raise
+            self.direct_calls += 1
+            return _DirectSlot(thunk, self._leave)
+        slot = _Slot(payload, max(weight, 1), on_done=self._leave)
         self._q.put(slot)
         if self._closed:
             # submit raced close(): the worker may already have exited.
@@ -135,6 +203,10 @@ class MicroBatcher:
             # enqueued behind the sentinel used to block forever.)
             pass
         return slot
+
+    def _leave(self) -> None:
+        with self._active_lock:
+            self._active -= 1
 
     def submit(self, payload, weight: int = 1):
         return self.submit_begin(payload, weight).wait()
@@ -311,17 +383,43 @@ class MultiIndexBatcher:
     request (the same query variants encoded per model).
     """
 
+    # rows bucket for the direct lane (a single request's 1-3 query
+    # variants); everything larger pads to max_queries. EXACTLY two static
+    # shapes, both precompiled by warmup() — round 2 measured variable
+    # power-of-two buckets as a p95 catastrophe (each first-seen shape
+    # under load stalled a fused batch on a fresh compile)
+    DIRECT_BUCKET = 8
+
     def __init__(self, indexes: Dict[str, Any], *, max_queries: int = 64,
-                 max_wait_ms: float = 0.0, name: str = "sweep") -> None:
+                 max_wait_ms: float = 0.0, inflight: Optional[int] = None,
+                 direct: int = 0, name: str = "sweep") -> None:
         self.indexes = indexes
         self.max_queries = max_queries
         self.max_wait_ms = max_wait_ms
+        self.inflight = inflight
+        self.direct = direct
         self.name = name
         self._batchers: Dict[int, MicroBatcher] = {}
         self._lock = threading.Lock()
 
     def _pad_rows(self, cat: np.ndarray) -> np.ndarray:
+        if cat.shape[0] <= self.DIRECT_BUCKET:
+            return _pad_to_bucket(cat, self.DIRECT_BUCKET)
         return _pad_to_bucket(cat, self.max_queries)
+
+    def warmup(self, top_k: int) -> None:
+        """Compile both static sweep shapes (DIRECT_BUCKET and max_queries
+        rows) against the current index storage so no fused call under load
+        ever stalls on a compile. Call after (re)ingest — storage capacity
+        is part of the compiled shape."""
+        dims = {idx.dim for idx in self.indexes.values()}
+        assert len(dims) == 1, dims
+        dim = dims.pop()
+        mb = self._batcher_for(top_k)
+        for rows in (1, self.max_queries):
+            thunk = mb.fn_begin([{name: np.zeros((rows, dim), np.float32)
+                                  for name in self.indexes}])
+            thunk()
 
     def _batcher_for(self, top_k: int) -> MicroBatcher:
         mb = self._batchers.get(top_k)
@@ -357,6 +455,7 @@ class MultiIndexBatcher:
 
                     mb = MicroBatcher(fn_begin=begin, max_items=self.max_queries,
                                       max_wait_ms=self.max_wait_ms,
+                                      inflight=self.inflight, direct=self.direct,
                                       name=f"{self.name}@k{top_k}")
                     self._batchers[top_k] = mb
         return mb
@@ -370,7 +469,8 @@ class MultiIndexBatcher:
 
     def stats(self) -> dict:
         return {
-            f"k{k}": {"calls": mb.calls, "submitted": mb.submitted}
+            f"k{k}": {"calls": mb.calls, "submitted": mb.submitted,
+                      "direct": mb.direct_calls}
             for k, mb in self._batchers.items()
         }
 

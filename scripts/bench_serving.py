@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """End-to-end serving throughput: concurrent engine.query with and without
-cross-request micro-batching (serving/batcher.py).
+cross-request micro-batching (serving/batcher.py), swept over concurrency.
 
 Unlike bench.py (pure kernel slopes), this drives the FULL query path —
 encode -> per-model index sweep -> fusion -> BM25 -> parent expansion ->
@@ -8,18 +8,34 @@ response build — from T concurrent request threads, the way the WSGI
 server does (reference api_server.py:857-882 runs one thread per request
 with batch-1 device calls; the micro-batcher is this framework's answer).
 
+Why the concurrency sweep matters here: through the tunneled chip EVERY
+host materialization is a ~35-45ms RPC and the tunnel saturates at ~100
+concurrent fused calls/s — but query-rows/s GROWS with fused batch size
+(measured 5.2k rows/s at 64-row calls -> 14.6k at 256). Thread-per-request
+spends one RPC per query and hard-caps at the tunnel's call rate no matter
+the thread count; the micro-batcher coalesces whole concurrency waves into
+single calls, so its throughput keeps scaling. The sweep shows both
+regimes on both modes.
+
 Corpus is synthetic financial text ingested through the real pipeline
 stores (child metadata + parent store + flat index). Queries are unique
 strings (the md5 result cache never hits), drawn from corpus vocabulary so
 BM25 and dense retrieval both do real work.
 
-Usage: python scripts/bench_serving.py [--chunks 20000] [--threads 16]
-       [--queries 256] [--out BENCH_SERVING.json]
-Prints one BENCH-style JSON line per mode plus the speedup.
+--real-encoders: construct genuine 12-layer bge-small-architecture
+safetensors checkpoints on disk (the tests/test_real_checkpoint_path.py
+machinery — real WordPiece vocab, real BERT forward on device, real
+cross-encoder rerank), so encode costs real device time and the batcher's
+coalescing is measured in the regime it was designed for (VERDICT r2 #5).
+
+Usage: python scripts/bench_serving.py [--chunks 20000] [--threads 16,64]
+       [--queries 256] [--real-encoders] [--out BENCH_SERVING.json]
+Prints one BENCH-style JSON line per (mode, concurrency) plus speedups.
 """
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -34,14 +50,49 @@ WORDS = ("rent lease invoice amount gst tax lessor lessee tenant landlord "
          "maintenance charges premises quarterly annual agreement renewal "
          "termination notice interest penalty arrears utilities parking").split()
 
+# real bge-small-en-v1.5 architecture (reference local_models/*/config.json)
+REAL_ARCH = dict(
+    vocab_size=30522, hidden_size=384, num_hidden_layers=12,
+    num_attention_heads=12, intermediate_size=1536,
+    max_position_embeddings=512, type_vocab_size=2,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    hidden_act="gelu", layer_norm_eps=1e-12,
+)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_runtime(tmp, microbatch: bool, n_chunks: int, seed: int = 0):
-    import os
+def write_real_checkpoints(base: Path) -> None:
+    """HF-format 12L checkpoints (config.json + model.safetensors +
+    vocab.txt) for both encoders and the cross-encoder; random weights but
+    the REAL architecture, vocab and forward path — encode/rerank cost what
+    they cost with downloaded weights."""
+    import shutil
 
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    vocab_src = Path("/root/reference/local_models/BAAI-bge-small-en-v1.5/vocab.txt")
+    for name, seed, num_labels in (("baai", 0, 0), ("gte", 1, 0), ("cross", 2, 1)):
+        dest = base / name
+        dest.mkdir(parents=True, exist_ok=True)
+        torch.manual_seed(seed)
+        cfg = transformers.BertConfig(**REAL_ARCH, num_labels=max(num_labels, 1))
+        model = (transformers.BertForSequenceClassification(cfg) if num_labels
+                 else transformers.BertModel(cfg))
+        save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+                  str(dest / "model.safetensors"))
+        (dest / "config.json").write_text(cfg.to_json_string())
+        shutil.copy(vocab_src, dest / "vocab.txt")
+    os.environ["EMBED_BAAI_PATH"] = str(base / "baai")
+    os.environ["EMBED_GTE_PATH"] = str(base / "gte")
+    os.environ["CROSS_ENCODER_PATH"] = str(base / "cross")
+
+
+def build_runtime(tmp, microbatch: bool, n_chunks: int, seed: int = 0):
     os.environ["SERVE_MICROBATCH"] = "1" if microbatch else "0"
     from financial_rag_tpu.config import FrameworkConfig
     from financial_rag_tpu.runtime import Runtime
@@ -68,9 +119,11 @@ def build_runtime(tmp, microbatch: bool, n_chunks: int, seed: int = 0):
          "source_mtime": 1700000000.0}
         for i in range(n_chunks)])
     for name, enc in rt.dual_encoder.encoders.items():
-        vecs = enc.encode(texts)
-        for lo in range(0, n_chunks, 16_384):
-            rt.indexes[name].upsert(ids[lo: lo + 16_384], vecs[lo: lo + 16_384])
+        # unwrapped encode: ingest-side embedding, not the serving path
+        inner = getattr(enc, "inner", enc)
+        for lo in range(0, n_chunks, 8_192):
+            vecs = inner.encode(texts[lo: lo + 8_192])
+            rt.indexes[name].upsert(ids[lo: lo + 8_192], vecs)
     log(f"ingested {n_chunks} chunks in {time.time()-t0:.1f}s "
         f"(microbatch={'on' if microbatch else 'off'})")
     return rt
@@ -81,6 +134,7 @@ def drive(rt, n_threads: int, n_queries: int, seed: int = 1):
     queries = [" ".join(rng.choice(WORDS, size=5)) + f" q{seed}_{i}"
                for i in range(n_queries)]
     rt.engine.query(queries[0] + " warmup")  # compile/prime everything
+    rt.warm_sweeps()   # both fused shapes (direct bucket + max batch)
 
     errors = []
     latencies = []
@@ -124,12 +178,14 @@ def drive(rt, n_threads: int, n_queries: int, seed: int = 1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=20_000)
-    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--threads", default="16,64",
+                    help="comma-separated concurrency sweep")
     ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--real-encoders", action="store_true")
     ap.add_argument("--out", default="BENCH_SERVING.json")
     args = ap.parse_args()
+    thread_counts = [int(t) for t in str(args.threads).split(",") if t]
 
-    import os
     import tempfile
 
     import jax
@@ -142,33 +198,77 @@ def main():
     backend = jax.default_backend()
     log(f"backend={backend}")
 
+    enc_label = "real-architecture checkpoints" if args.real_encoders else "lexical"
+    ckpt_tmp = None
+    if args.real_encoders:
+        ckpt_tmp = tempfile.TemporaryDirectory()
+        write_real_checkpoints(Path(ckpt_tmp.name))
+
+    # Build BOTH runtimes up front, then INTERLEAVE the mode drives across
+    # repetitions: the tunneled chip's RPC latency drifts minute-to-minute
+    # (the same config measured 424 and 671 QPS ten minutes apart), so
+    # back-to-back alternation + median is the only honest comparison.
+    reps = 3
+    tmp_off = tempfile.TemporaryDirectory()
+    tmp_on = tempfile.TemporaryDirectory()
+    rts = {False: build_runtime(tmp_off.name, False, args.chunks, seed=0),
+           True: build_runtime(tmp_on.name, True, args.chunks, seed=0)}
+
+    samples = {}   # (mode, threads) -> list of drive results
+    for rep in range(reps):
+        for n_threads in thread_counts:
+            # off/on back-to-back: the drift is minute-scale, so the
+            # comparison must be adjacent, not phase-separated
+            for mode in (False, True):
+                n_q = max(args.queries, n_threads * 8)
+                r = drive(rts[mode], n_threads, n_q, seed=10 * rep + n_threads)
+                rts[mode].engine.flush_background()
+                samples.setdefault((mode, n_threads), []).append(r)
+                log(f"rep{rep} mode={'on' if mode else 'off'} T={n_threads}: "
+                    f"{r['qps']:.0f} qps p50={r['p50_ms']:.0f} p95={r['p95_ms']:.0f}")
+
+    def median_of(key, field):
+        vals = sorted(s[field] for s in samples[key])
+        return vals[len(vals) // 2]
+
     results = []
-    stats = {}
+    qps_at = {}
     for mode in (False, True):
-        with tempfile.TemporaryDirectory() as tmp:
-            rt = build_runtime(tmp, mode, args.chunks, seed=0)
-            r = drive(rt, args.threads, args.queries)
-            rt.engine.flush_background()   # deferred trace/cache writes
-            stats[mode] = r
-            label = "microbatch" if mode else "thread-per-request"
-            row = {"metric": f"serving QPS ({label}, {args.threads} threads, "
+        label = "microbatch" if mode else "thread-per-request"
+        for n_threads in thread_counts:
+            key = (mode, n_threads)
+            qps_at[key] = median_of(key, "qps")
+            row = {"metric": f"serving QPS ({label}, {n_threads} threads, "
                              f"{args.chunks // 1000}k chunks, full query path)",
-                   "value": round(r["qps"], 1), "unit": "qps",
-                   "vs_baseline": None,
-                   "p50_ms": round(r["p50_ms"], 1), "p95_ms": round(r["p95_ms"], 1),
-                   "errors": r["errors"], "backend": backend}
-            if mode and rt.hybrid.sweep_batcher is not None:
-                row["batch_stats"] = rt.hybrid.sweep_batcher.stats()
-            log(json.dumps(row))
+                   "value": round(qps_at[key], 1), "unit": "qps",
+                   "vs_baseline": None, "encoders": enc_label,
+                   "p50_ms": round(median_of(key, "p50_ms"), 1),
+                   "p95_ms": round(median_of(key, "p95_ms"), 1),
+                   "errors": sum(s["errors"] for s in samples[key]),
+                   "reps": reps, "backend": backend}
+            if mode and rts[True].hybrid.sweep_batcher is not None:
+                row["batch_stats"] = rts[True].hybrid.sweep_batcher.stats()
             results.append(row)
 
-    speedup = stats[True]["qps"] / max(stats[False]["qps"], 1e-9)
-    results.append({"metric": "micro-batching speedup (QPS on / QPS off)",
-                    "value": round(speedup, 3), "unit": "x",
-                    "vs_baseline": round(speedup, 3), "backend": backend})
+    for n_threads in thread_counts:
+        # median of ADJACENT-pair ratios: each rep's on/off drives ran
+        # back-to-back, so their ratio cancels the tunnel's drift
+        ratios = sorted(on["qps"] / max(off["qps"], 1e-9)
+                        for off, on in zip(samples[(False, n_threads)],
+                                           samples[(True, n_threads)]))
+        speedup = ratios[len(ratios) // 2]
+        results.append({"metric": f"micro-batching speedup at {n_threads} threads "
+                                  "(QPS on / QPS off, median of paired runs)",
+                        "value": round(speedup, 3), "unit": "x",
+                        "vs_baseline": round(speedup, 3),
+                        "encoders": enc_label, "backend": backend})
+    tmp_off.cleanup()
+    tmp_on.cleanup()
     Path(args.out).write_text("\n".join(json.dumps(r) for r in results) + "\n")
     for r in results:
         print(json.dumps(r))
+    if ckpt_tmp is not None:
+        ckpt_tmp.cleanup()
 
 
 if __name__ == "__main__":
