@@ -39,6 +39,7 @@ class RAGEngine:
         config: Optional[FrameworkConfig] = None,
         feedback_db: Optional[FeedbackDatabase] = None,
         tracer: Optional[QueryTracer] = None,
+        active=None,
     ) -> None:
         self.hybrid = hybrid
         self.parent_store = parent_store
@@ -48,6 +49,10 @@ class RAGEngine:
         self.feedback_db = feedback_db
         self.tracer = tracer or QueryTracer(None)
         self.analyzer = QueryAnalyzer()
+        # shared concurrency gauge for the serving batchers' adaptive
+        # direct-lane policy (serving/batcher.ActiveCount): the engine
+        # brackets each request so the gauge counts concurrent QUERIES
+        self.active = active
 
     def flush_background(self) -> None:
         """Drain deferred persistence (trace files, cache/feedback writes).
@@ -64,6 +69,19 @@ class RAGEngine:
 
     def query(self, question: str, topn: int = 5, filters: Optional[dict] = None,
               enable_reranking: bool = True, session_id: Optional[str] = None) -> dict:
+        if self.active is not None:
+            self.active.enter()
+            try:
+                return self._query(question, topn=topn, filters=filters,
+                                   enable_reranking=enable_reranking,
+                                   session_id=session_id)
+            finally:
+                self.active.leave()
+        return self._query(question, topn=topn, filters=filters,
+                           enable_reranking=enable_reranking, session_id=session_id)
+
+    def _query(self, question: str, topn: int = 5, filters: Optional[dict] = None,
+               enable_reranking: bool = True, session_id: Optional[str] = None) -> dict:
         start = time.time()
         cache_key = None
         if self.feedback_db is not None:
@@ -104,6 +122,8 @@ class RAGEngine:
         everything first and inserts an artificial 0.5s delay between
         events (reference api_server.py:1137)."""
         start = time.time()
+        if self.active is not None:
+            self.active.enter()
         try:
             ctx = self._retrieve_phase(question, topn=topn, filters=filters, start=start)
             if "no_match" in ctx:
@@ -121,6 +141,9 @@ class RAGEngine:
                 "query_strategy": "Error", "success": False,
                 "processing_time": time.time() - start,
             }
+        finally:
+            if self.active is not None:
+                self.active.leave()
 
     # ------------------------------------------------------------ internals
 

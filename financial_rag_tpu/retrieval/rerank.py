@@ -74,15 +74,29 @@ class CrossEncoderModel:
             self._fns[seq_len] = fn
         return fn
 
-    def predict(self, pairs: Sequence[Sequence[str]]) -> np.ndarray:
-        """Score pairs -> [N] float32 logits."""
+    def predict_begin(self, pairs: Sequence[Sequence[str]], *,
+                      pad_pairs: Optional[int] = None):
+        """Dispatch-only scoring: enqueue the device forward, return a
+        zero-arg materializer producing [N] float32 logits. The serving
+        batcher coalesces concurrent requests' pair lists into one forward
+        and overlaps the RPC round trips (same discipline as
+        Encoder.encode_begin / FlatIndex.search_begin).
+
+        ``pad_pairs`` pins the row count to ONE static shape — coalesced
+        cross-request batches vary in size, and each first-seen pair
+        bucket under load stalls a whole fused batch on a fresh compile
+        (measured 5-10s p95 outliers through the tunnel; the same lesson
+        as the sweep batcher's single padded shape)."""
         if not len(pairs):
-            return np.zeros((0,), np.float32)
+            return lambda: np.zeros((0,), np.float32)
         enc = [self.tokenizer.encode_pair(a, b, max_len=self.max_seq_len) for a, b in pairs]
         longest = max(len(ids) for ids, _ in enc)
         seq_len = next((s for s in SEQ_BUCKETS if longest <= s), self.max_seq_len)
         n = len(enc)
-        npad = next((p for p in PAIR_BUCKETS if n <= p), ((n + 127) // 128) * 128)
+        if pad_pairs is not None and pad_pairs >= n:
+            npad = pad_pairs
+        else:
+            npad = next((p for p in PAIR_BUCKETS if n <= p), ((n + 127) // 128) * 128)
 
         ids = np.full((npad, seq_len), self.tokenizer.pad_id, np.int32)
         mask = np.zeros((npad, seq_len), np.int32)
@@ -95,7 +109,11 @@ class CrossEncoderModel:
         mask[n:, 0] = 1
         with time_block(f"rerank.forward_s{seq_len}"):
             logits = self._fn(seq_len)(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
-        return np.asarray(logits[:n], np.float32)
+        return lambda: np.asarray(logits[:n], np.float32)
+
+    def predict(self, pairs: Sequence[Sequence[str]]) -> np.ndarray:
+        """Score pairs -> [N] float32 logits."""
+        return self.predict_begin(pairs)()
 
 
 def adaptive_normalize(scores: np.ndarray) -> tuple:

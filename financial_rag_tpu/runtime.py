@@ -118,15 +118,24 @@ class Runtime:
             "baai": _build_encoder("baai", cfg.encoders.baai_path, "cls", cfg),
             "gte": _build_encoder("gte", cfg.encoders.gte_path, "mean", cfg),
         }
+        serve_active = None
         if cfg.serving.microbatch:
-            from financial_rag_tpu.serving.batcher import BatchingEncoder
+            from financial_rag_tpu.serving.batcher import ActiveCount, BatchingEncoder
 
+            # ONE concurrency gauge shared by every batcher in this runtime
+            # (encode x2, fused sweep, rerank): the adaptive direct-lane
+            # policy gates on SYSTEM-wide active requests, because the
+            # tunnel's RPC budget is shared and a query crosses the phases
+            # in series (batcher.ActiveCount docstring)
+            serve_active = ActiveCount()
             # wrap only device-backed encoders: batching exists to coalesce
             # DEVICE dispatches; a host-side fallback encoder behind the
             # batcher serializes all request threads onto one core
             encoders = {
                 name: (BatchingEncoder(enc, max_texts=cfg.serving.microbatch_max,
                                        max_wait_ms=cfg.serving.microbatch_wait_ms,
+                                       direct=cfg.serving.microbatch_direct,
+                                       active=serve_active,
                                        name=f"encode-{name}")
                        if getattr(enc, "device_backed", False) else enc)
                 for name, enc in encoders.items()
@@ -234,7 +243,8 @@ class Runtime:
                 indexes, max_queries=cfg.serving.microbatch_max,
                 max_wait_ms=cfg.serving.microbatch_wait_ms,
                 inflight=cfg.serving.microbatch_inflight,
-                direct=cfg.serving.microbatch_direct)
+                direct=cfg.serving.microbatch_direct,
+                active=serve_active)
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")
@@ -249,6 +259,20 @@ class Runtime:
                 log.info("reranker: loaded %s", cfg.rerank.model_path)
             except (FileNotFoundError, ValueError) as e:
                 log.warning("reranker unavailable (%s); falling back to retrieval sort", e)
+        if reranker_model is not None and cfg.serving.microbatch:
+            # coalesce concurrent requests' rerank forwards (the last
+            # unbatched per-request device RPC on the real-checkpoint path)
+            from financial_rag_tpu.serving.batcher import BatchingCrossEncoder
+
+            # 128-pair fused cap (~5 requests/call): big enough to divide
+            # the RPC budget, small enough that each transfer stays light —
+            # 256-pair calls measured multi-second stalls through the
+            # tunnel under sustained 64-thread load
+            reranker_model = BatchingCrossEncoder(
+                reranker_model, max_pairs=128,
+                max_wait_ms=cfg.serving.microbatch_wait_ms,
+                direct=cfg.serving.microbatch_direct,
+                active=serve_active)
         reranker = CrossEncoderReranker(reranker_model, cfg.rerank)
 
         pipeline = IngestionPipeline(
@@ -263,7 +287,8 @@ class Runtime:
                                        rrf_k=cfg.fusion.rrf_k)
         engine = RAGEngine(hybrid, parent_store, reranker, llm, config=cfg,
                            feedback_db=feedback_db,
-                           tracer=QueryTracer(data_dir / cfg.store.trace_dir))
+                           tracer=QueryTracer(data_dir / cfg.store.trace_dir),
+                           active=serve_active)
         ledger = ProcessingLedger(data_dir / cfg.ingest.state_path)
 
         return cls(config=cfg, dual_encoder=dual, indexes=indexes,
@@ -317,6 +342,28 @@ class Runtime:
                 self.hybrid.sweep_batcher.warmup(self.config.fusion.per_query_k)
             except Exception:  # noqa: BLE001 — warmup must never break ingest
                 log.exception("sweep warmup failed")
+        self._warm_rerank()
+
+    def _warm_rerank(self) -> None:
+        """Precompile the fused rerank forward at the coalesced pair-batch
+        size, using REAL corpus snippets so the sequence bucket matches
+        serving traffic (the first big fused rerank under load measured a
+        5.4s compile stall). No-op without a model or corpus."""
+        model = getattr(self.engine.reranker, "model", None)
+        if model is None or not hasattr(model, "batcher"):
+            return
+        try:
+            sample = self.child_meta.sample_snippets(8)
+            if not sample:
+                return
+            pairs = [("representative warmup question about amounts", s)
+                     for s in sample]
+            reps = (len(sample) - 1 + model.batcher.max_items) // len(sample)
+            inner = model.inner
+            inner.predict((pairs * reps)[: model.batcher.max_items])
+            inner.predict(pairs * 3)   # the per-request (direct-lane) size
+        except Exception:  # noqa: BLE001 — warmup must never break ingest
+            log.exception("rerank warmup failed")
 
     def make_app(self, processor=None, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.app import create_app

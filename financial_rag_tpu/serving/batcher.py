@@ -65,6 +65,38 @@ def _pad_to_bucket(cat: np.ndarray, bucket: int) -> np.ndarray:
     return cat
 
 
+class ActiveCount:
+    """Shared concurrency gauge for the adaptive direct-lane policy. ALL of
+    a runtime's batchers (per-model encode, fused sweep, rerank) share one
+    instance, and the ENGINE brackets each request's lifetime with
+    enter()/leave(): the tunnel's RPC call budget is one shared resource
+    and a query crosses the phases in series, so the gate must compare
+    CONCURRENT REQUESTS — gating each batcher on its own local submission
+    count leaves every phase under the limit while the system as a whole
+    burns 3-4 direct RPCs per query (measured: the real-checkpoint path
+    stuck at ~70 QPS with 75% direct calls at 64 threads); counting
+    submissions instead of requests double-counts the dual-encoder's
+    begin-both pattern and flips 16-thread load into coalescing."""
+
+    __slots__ = ("_n", "_lock")
+
+    def __init__(self) -> None:
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def enter(self) -> int:
+        with self._lock:
+            self._n += 1
+            return self._n
+
+    def leave(self) -> None:
+        with self._lock:
+            self._n -= 1
+
+    def value(self) -> int:
+        return self._n
+
+
 class _Slot:
     __slots__ = ("event", "result", "error", "weight", "payload", "on_done")
 
@@ -131,7 +163,8 @@ class MicroBatcher:
                  fn_begin: Optional[Callable[[List[Any]], Callable[[], List[Any]]]] = None,
                  max_items: int = 64, max_wait_ms: float = 0.0,
                  finishers: int = 8, inflight: Optional[int] = None,
-                 direct: int = 0, name: str = "batch") -> None:
+                 direct: int = 0, active: Optional[ActiveCount] = None,
+                 name: str = "batch") -> None:
         assert fn is not None or fn_begin is not None
         self.fn = fn
         self.fn_begin = fn_begin
@@ -170,8 +203,11 @@ class MicroBatcher:
         # it cannot regress against it.
         self.direct_calls = 0
         self.direct_limit = direct if fn_begin is not None else 0
-        self._active = 0
-        self._active_lock = threading.Lock()
+        # shared gauge: the engine brackets request lifetimes, the batcher
+        # only READS it. Private fallback (standalone batchers, tests):
+        # count this batcher's own in-flight submissions.
+        self._active = active if active is not None else ActiveCount()
+        self._owns_gauge = active is None
         self._worker = threading.Thread(
             target=self._loop, name=f"microbatch-{name}", daemon=True)
         self._worker.start()
@@ -183,18 +219,22 @@ class MicroBatcher:
         Lets a caller feed several batchers before waiting on any."""
         if self._closed:
             raise RuntimeError(f"MicroBatcher {self.name} is closed")
-        with self._active_lock:
-            self._active += 1
-            go_direct = self._active <= self.direct_limit
+        if self._owns_gauge:
+            go_direct = self._active.enter() <= self.direct_limit
+            on_done = self._leave
+        else:
+            go_direct = self._active.value() <= self.direct_limit
+            on_done = None
         if go_direct:
             try:
                 thunk = self.fn_begin([payload])
             except Exception:
-                self._leave()
+                if on_done is not None:
+                    on_done()
                 raise
             self.direct_calls += 1
-            return _DirectSlot(thunk, self._leave)
-        slot = _Slot(payload, max(weight, 1), on_done=self._leave)
+            return _DirectSlot(thunk, on_done or (lambda: None))
+        slot = _Slot(payload, max(weight, 1), on_done=on_done)
         self._q.put(slot)
         if self._closed:
             # submit raced close(): the worker may already have exited.
@@ -205,8 +245,7 @@ class MicroBatcher:
         return slot
 
     def _leave(self) -> None:
-        with self._active_lock:
-            self._active -= 1
+        self._active.leave()
 
     def submit(self, payload, weight: int = 1):
         return self.submit_begin(payload, weight).wait()
@@ -232,8 +271,10 @@ class MicroBatcher:
     # ------------------------------------------------------------ worker
 
     def _loop(self) -> None:
+        carry: Optional[_Slot] = None
         while True:
-            first = self._q.get()
+            first = carry if carry is not None else self._q.get()
+            carry = None
             if first is None:
                 return
             if self.fn_begin is not None:
@@ -257,6 +298,11 @@ class MicroBatcher:
                     break
                 if nxt is None:
                     stop = True
+                    break
+                if weight + nxt.weight > self.max_items:
+                    # never overshoot the batch's ONE static padded shape —
+                    # the overflow submission seeds the next batch
+                    carry = nxt
                     break
                 batch.append(nxt)
                 weight += nxt.weight
@@ -327,13 +373,15 @@ class BatchingEncoder(_Delegate):
     supports_encode_begin = True
 
     def __init__(self, inner, *, max_texts: int = 128, max_wait_ms: float = 0.0,
+                 direct: int = 0, active: Optional[ActiveCount] = None,
                  name: str = "encode") -> None:
         super().__init__(inner)
         split = getattr(type(inner), "supports_encode_begin", False)
         self.batcher = MicroBatcher(
             fn=None if split else self._run,
             fn_begin=self._run_begin if split else None,
-            max_items=max_texts, max_wait_ms=max_wait_ms, name=name)
+            max_items=max_texts, max_wait_ms=max_wait_ms,
+            direct=direct, active=active, name=name)
 
     def _flatten(self, groups: List[List[str]]):
         return [t for g in groups for t in g]
@@ -366,6 +414,55 @@ class BatchingEncoder(_Delegate):
         return self.encode([text])[0]
 
 
+class BatchingCrossEncoder(_Delegate):
+    """Wraps a CrossEncoderModel: concurrent requests' (query, text) pair
+    lists concatenate into ONE forward (the rerank pass was the last
+    unbatched per-request RPC on the real-checkpoint serving path —
+    VERDICT r2 #5 regime). Same adaptive direct-lane policy as the sweep
+    batcher: at low concurrency a request dispatches its own forward."""
+
+    def __init__(self, inner, *, max_pairs: int = 256, max_wait_ms: float = 0.0,
+                 direct: int = 0, active: Optional[ActiveCount] = None,
+                 name: str = "rerank") -> None:
+        super().__init__(inner)
+        self.batcher = MicroBatcher(
+            fn_begin=self._run_begin, max_items=max_pairs,
+            max_wait_ms=max_wait_ms, direct=direct, active=active, name=name)
+
+    def _run_begin(self, groups: List[List]):
+        flat = [p for g in groups for p in g]
+        # coalesced batches pin ONE static row shape (max_items); a
+        # single-group call (direct lane / lone submission) keeps its
+        # natural small bucket — exactly two compiled shapes, both warmed
+        # by Runtime._warm_rerank
+        pad = self.batcher.max_items if len(groups) > 1 else None
+        materialize = self.inner.predict_begin(flat, pad_pairs=pad)
+
+        def thunk():
+            scores = materialize()
+            out, lo = [], 0
+            for g in groups:
+                out.append(scores[lo: lo + len(g)])
+                lo += len(g)
+            return out
+
+        return thunk
+
+    def predict_begin(self, pairs):
+        pairs = list(pairs)
+        if not pairs:
+            return lambda: self.inner.predict(pairs)
+        slot = self.batcher.submit_begin(pairs, weight=len(pairs))
+        return slot.wait
+
+    def predict(self, pairs) -> np.ndarray:
+        return self.predict_begin(pairs)()
+
+    def stats(self) -> dict:
+        return {"calls": self.batcher.calls, "submitted": self.batcher.submitted,
+                "direct": self.batcher.direct_calls}
+
+
 class MultiIndexBatcher:
     """Coalesce concurrent requests' PER-MODEL index sweeps into one fused
     device round trip.
@@ -392,12 +489,14 @@ class MultiIndexBatcher:
 
     def __init__(self, indexes: Dict[str, Any], *, max_queries: int = 64,
                  max_wait_ms: float = 0.0, inflight: Optional[int] = None,
-                 direct: int = 0, name: str = "sweep") -> None:
+                 direct: int = 0, active: Optional[ActiveCount] = None,
+                 name: str = "sweep") -> None:
         self.indexes = indexes
         self.max_queries = max_queries
         self.max_wait_ms = max_wait_ms
         self.inflight = inflight
         self.direct = direct
+        self.active = active
         self.name = name
         self._batchers: Dict[int, MicroBatcher] = {}
         self._lock = threading.Lock()
@@ -456,6 +555,7 @@ class MultiIndexBatcher:
                     mb = MicroBatcher(fn_begin=begin, max_items=self.max_queries,
                                       max_wait_ms=self.max_wait_ms,
                                       inflight=self.inflight, direct=self.direct,
+                                      active=self.active,
                                       name=f"{self.name}@k{top_k}")
                     self._batchers[top_k] = mb
         return mb

@@ -124,3 +124,9 @@ class ChildMetaStore:
 
     def count(self) -> int:
         return self._conn().execute("SELECT COUNT(*) FROM children").fetchone()[0]
+
+    def sample_snippets(self, n: int) -> List[str]:
+        """Up to n representative child snippets (rerank warmup uses these
+        so compiled sequence buckets match real serving traffic)."""
+        cur = self._conn().execute("SELECT snippet FROM children LIMIT ?", (n,))
+        return [r[0] for r in cur.fetchall() if r[0]]

@@ -141,7 +141,9 @@ class TestOnDiskCheckpointPath:
         monkeypatch.setenv("EMBED_GTE_PATH", str(base / "gte"))
         monkeypatch.setenv("CROSS_ENCODER_PATH", str(base / "cross"))
         rt = Runtime.build(data_dir=tmp_path)
-        assert all(isinstance(e, Encoder)
+        # microbatch-on (the default) wraps device-backed encoders in
+        # BatchingEncoder — look through the wrapper for the fallback check
+        assert all(isinstance(getattr(e, "inner", e), Encoder)
                    for e in rt.dual_encoder.encoders.values()), "fallback used"
         assert rt.engine.reranker.model is not None
 
@@ -168,6 +170,7 @@ class TestOnDiskCheckpointPath:
         monkeypatch.setenv("ENCODE_DP", "8")
         rt = Runtime.build(data_dir=tmp_path)
         for e in rt.dual_encoder.encoders.values():
+            e = getattr(e, "inner", e)   # through the microbatch wrapper
             assert isinstance(e, Encoder) and e.mesh is not None
             assert e.mesh.shape["data"] == 8
 
