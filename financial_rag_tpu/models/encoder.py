@@ -79,9 +79,12 @@ class Encoder:
         self.max_seq_len = max_seq_len
         # data-parallel encode (SURVEY §2.5): a jax.sharding.Mesh with a
         # "data" axis shards each token batch across its devices via
-        # shard_map (see _fn). Batch buckets (powers of two >= 8) divide
-        # any power-of-two mesh. None = single-device jit.
+        # shard_map (see _fn). Every batch bucket must divide across the
+        # mesh, so batch_size rounds up to a mesh multiple and
+        # _batch_bucket floors at mesh.size. None = single-device jit.
         self.mesh = mesh
+        if mesh is not None and self.batch_size % mesh.size:
+            self.batch_size = ((self.batch_size // mesh.size) + 1) * mesh.size
         on_tpu = jax.default_backend() == "tpu"
         self._on_tpu = on_tpu
         self.compute_dtype = compute_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
@@ -147,11 +150,15 @@ class Encoder:
 
     def _batch_bucket(self, n: int) -> int:
         """Pad tiny (query-time) batches to 8/32 instead of the full ingest
-        batch — a 3-variant query encode shouldn't pay for 128 rows."""
+        batch — a 3-variant query encode shouldn't pay for 128 rows. Under
+        a data mesh every bucket must divide across the devices, so the
+        mesh size floors the bucket (a 16-device mesh pads to 16+)."""
+        floor = self.mesh.size if self.mesh is not None else 1
         for b in (8, 32):
-            if n <= b and b < self.batch_size:
+            if n <= b and b < self.batch_size and b % floor == 0:
                 return b
-        return self.batch_size
+        # batch_size is rounded up to a mesh multiple at construction
+        return max(self.batch_size, floor)
 
     def encode_begin(self, texts: Sequence[str], *, seqs=None):
         """Tokenize and ENQUEUE every device batch; returns a zero-arg

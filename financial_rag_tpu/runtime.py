@@ -55,10 +55,12 @@ def _encode_mesh(cfg: FrameworkConfig):
     from jax.sharding import Mesh
 
     avail = jax.devices()
-    # power of two, capped at 8: the smallest encode batch bucket is 8
-    # rows and shard_map requires the batch to divide the mesh evenly
+    # largest power of two that fits: shard_map requires every batch
+    # bucket to divide the mesh evenly, and the Encoder floors its batch
+    # buckets at mesh.size — so ANY power-of-two mesh works (round-2
+    # weak #7: the old hard cap at 8 silently used half a 16-device mesh)
     use = 1
-    while use * 2 <= min(n, len(avail), 8):
+    while use * 2 <= min(n, len(avail)):
         use *= 2
     if use != n:
         log.warning("ENCODE_DP=%d -> using %d of %d devices", n, use, len(avail))

@@ -242,7 +242,11 @@ class RagApi:
     def on_filters(self, request: Request) -> Response:
         return _json({
             "fileTypes": ["pdf", "word", "excel", "ppt", "txt"],
-            "dataSources": ["Windows Shares", "Local Documents"],
+            # only sources that actually back documents: every ingested
+            # chunk is attributed "Windows Shares" (serving/formatting.py),
+            # so advertising unbacked sources here would let the UI build
+            # filters that silently match nothing (ADVICE r2)
+            "dataSources": ["Windows Shares"],
             "timeRanges": ["all", "3days", "week", "month", "3months", "year",
                            "5years", "custom"],
         })

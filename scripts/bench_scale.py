@@ -208,7 +208,7 @@ def main():
                 rec = float(np.mean([len(set(a) & set(b)) / args.k
                                      for a, b in zip(got_ids, flat_ids)]))
             row = {"metric": f"{name} search QPS @ {n//1000}k chunks (k=24, batch={args.batch})",
-                   "value": round(qps, 1), "unit": "qps",
+                   "value": round(qps, 1), "unit": "qps", "corpus": "clustered",
                    "vs_baseline": round(qps / 50_000.0, 3),
                    "latency_ms_per_batch": round(dt * 1e3, 3),
                    f"recall@{args.k}": round(rec, 4), "recall_ref": recall_ref,
@@ -254,7 +254,7 @@ def main():
                                      for a, b in zip(got_ids, flat_ids)]))
                 tuned = " TUNED" if nprobe == report["nprobe"] else ""
                 row = {"metric": f"{ivf_tag} search QPS @ {n//1000}k chunks (nprobe={nprobe}{tuned}, nlist={nlist})",
-                       "value": round(qps, 1), "unit": "qps",
+                       "value": round(qps, 1), "unit": "qps", "corpus": "clustered",
                        "vs_baseline": round(qps / 50_000.0, 3),
                        "latency_ms_per_16q": round(dt * 1e3, 3),
                        f"recall@{args.k}": round(rec, 4), "recall_ref": recall_ref,

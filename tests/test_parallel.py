@@ -395,3 +395,39 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestEncodeMeshSizing:
+    """Round-2 weak #7: ENCODE_DP was silently capped at 8 devices. The
+    encoder now floors its batch buckets at mesh.size, so any power-of-two
+    mesh is usable."""
+
+    def test_batch_bucket_floors_at_mesh_size(self):
+        from types import SimpleNamespace
+
+        from financial_rag_tpu.models.bert import ModelConfig
+        from financial_rag_tpu.models.checkpoint import random_params
+        from financial_rag_tpu.models.encoder import Encoder
+
+        cfg = ModelConfig(name="t", hidden_size=64, num_layers=1, num_heads=4,
+                          intermediate_size=128, vocab_size=512, max_position=64)
+        enc = Encoder(cfg, random_params(cfg, seed=0), batch_size=100,
+                      mesh=SimpleNamespace(size=16))
+        # batch_size rounded to a mesh multiple
+        assert enc.batch_size % 16 == 0
+        # tiny batches never pad below the mesh size
+        assert enc._batch_bucket(3) % 16 == 0
+        assert enc._batch_bucket(20) % 16 == 0
+        # an 8-mesh still uses the small buckets
+        enc8 = Encoder(cfg, random_params(cfg, seed=0), batch_size=128,
+                       mesh=SimpleNamespace(size=8))
+        assert enc8._batch_bucket(3) == 8
+
+    def test_encode_mesh_uses_all_eight(self, monkeypatch):
+        from financial_rag_tpu.config import FrameworkConfig
+        from financial_rag_tpu.runtime import _encode_mesh
+
+        cfg = FrameworkConfig()
+        cfg.mesh.encode_dp = 8
+        mesh = _encode_mesh(cfg)
+        assert mesh is not None and mesh.size == 8
