@@ -235,3 +235,98 @@ class TestRuntimeMicrobatch:
         for r in results:
             assert r["success"]
             assert r["top_children_chunks"], "retrieval returned nothing"
+
+
+class TestAdaptiveDirectLane:
+    """The never-a-regression policy: at or below `direct` concurrent
+    requests a submission dispatches in its own thread (thread-per-request
+    semantics); above, submissions coalesce. Gated on a runtime-wide
+    ActiveCount the engine brackets around each request."""
+
+    def test_low_concurrency_goes_direct(self):
+        from financial_rag_tpu.serving.batcher import MicroBatcher
+
+        calls = []
+        def begin(groups):
+            calls.append(len(groups))
+            return lambda: [g * 2 for g in groups]
+
+        mb = MicroBatcher(fn_begin=begin, direct=8)
+        # sequential submits: active (private gauge) stays at 1 <= 8
+        for i in range(5):
+            assert mb.submit(i) == i * 2
+        assert mb.direct_calls == 5
+        assert mb.calls == 0, "low concurrency must bypass the dispatcher"
+        mb.close()
+
+    def test_above_limit_coalesces(self):
+        from financial_rag_tpu.serving.batcher import ActiveCount, MicroBatcher
+
+        gauge = ActiveCount()
+        def begin(groups):
+            return lambda: [g * 2 for g in groups]
+
+        mb = MicroBatcher(fn_begin=begin, direct=2, active=gauge)
+        # engine-style bracketing: force the gauge above the limit
+        for _ in range(5):
+            gauge.enter()
+        barrier = threading.Barrier(8)
+        results, errors = _run_threads(
+            8, lambda i: (barrier.wait(), mb.submit(i))[1])
+        assert not errors and results == [i * 2 for i in range(8)]
+        assert mb.direct_calls == 0, "above the limit nothing may go direct"
+        assert mb.calls >= 1 and mb.submitted == 8
+        for _ in range(5):
+            gauge.leave()
+        mb.close()
+
+    def test_gather_never_overshoots_max_items(self):
+        from financial_rag_tpu.serving.batcher import ActiveCount, MicroBatcher
+
+        gauge = ActiveCount()
+        sizes = []
+        def begin(groups):
+            sizes.append(sum(len(g) for g in groups))
+            return lambda: [g for g in groups]
+
+        mb = MicroBatcher(fn_begin=begin, max_items=10, direct=0, active=gauge)
+        for _ in range(99):
+            gauge.enter()
+        barrier = threading.Barrier(12)
+        # weight-3 payloads: 4 fit in a 10-row batch; the 4th would
+        # overshoot and must carry to the next batch
+        _, errors = _run_threads(
+            12, lambda i: (barrier.wait(), mb.submit([i] * 3, weight=3))[1])
+        assert not errors
+        assert max(sizes) <= 10, f"fused batch overshot the static shape: {sizes}"
+        assert sum(sizes) == 36
+        mb.close()
+
+    def test_rerank_batching_matches_unbatched(self):
+        from financial_rag_tpu.retrieval.rerank import CrossEncoderModel
+        from financial_rag_tpu.serving.batcher import BatchingCrossEncoder
+
+        from financial_rag_tpu.models.bert import ModelConfig
+        from financial_rag_tpu.models.checkpoint import random_params
+
+        cfg = ModelConfig(name="ce-t", hidden_size=64, num_layers=2, num_heads=4,
+                          intermediate_size=128, vocab_size=30522, max_position=128,
+                          num_labels=1)
+        params = random_params(cfg, seed=3)
+        inner = CrossEncoderModel(cfg, params, max_seq_len=128)
+        wrapped = BatchingCrossEncoder(inner, max_pairs=64, direct=0)
+
+        pair_sets = [
+            [("what is the rent", f"the rent is {i} rupees"),
+             ("who is the lessor", f"lessor number {i} is named")]
+            for i in range(6)
+        ]
+        expected = [inner.predict(ps) for ps in pair_sets]
+        barrier = threading.Barrier(6)
+        results, errors = _run_threads(
+            6, lambda i: (barrier.wait(), wrapped.predict(pair_sets[i]))[1])
+        assert not errors
+        for got, exp in zip(results, expected):
+            np.testing.assert_allclose(got, exp, rtol=2e-3, atol=2e-3)
+        assert wrapped.stats()["submitted"] == 6
+        wrapped.batcher.close()
