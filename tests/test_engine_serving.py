@@ -245,8 +245,11 @@ class TestAPI:
         # experience-shape surfaces mirroring amber-ai-search (App.tsx):
         # home -> loading -> results views, the filter triple, answer pane,
         # reference chips, PDF modal
+        # fileType is a checkbox multi-select (FilterDropdown.tsx) and
+        # timeRange has the custom date pair (TimeFilterDropdown.tsx)
         for marker in ('id="home"', 'id="loading"', 'id="resultsView"',
-                       'id="fileType"', 'id="timeRange"', 'id="dataSource"',
+                       'id="ftMenu"', 'id="timeRange"', 'id="dataSource"',
+                       'id="customStart"', 'id="customEnd"',
                        'id="answer"', 'id="refs"', 'id="modalFrame"',
                        "recent-documents", "/search"):
             assert marker in body, marker
