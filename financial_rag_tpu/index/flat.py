@@ -97,6 +97,13 @@ class FlatIndex:
         self._ids = np.zeros((self.capacity,), np.int64)
         self._slot_of: Dict[int, int] = {}
         self._next_slot = 0
+        # slot-remap epoch: bumped by compact(), the only operation that
+        # reassigns slot->id (deletes zero _ids, which downstream filters;
+        # new upserts take fresh slots that the old snapshot scored
+        # invalid). A deferred materializer that sees the epoch change
+        # re-runs its search — the deferred window spans a full RPC in the
+        # serving batcher, so a concurrent /admin/compact is reachable.
+        self._remap = 0
         self._lock = threading.Lock()
         self._search_fns: Dict[Tuple, object] = {}
 
@@ -181,6 +188,7 @@ class FlatIndex:
                 self._vectors = self._vectors.at[idxs].set(vectors)
                 # carry each row's dequantization weight with it
                 self._valid = self._valid.at[idxs].set(weights)
+            self._remap += 1
             log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
             return reclaimed
 
@@ -215,11 +223,11 @@ class FlatIndex:
         # storage buffer, so a search racing it could dispatch a deleted
         # array (pre-donation it merely read stale data)
         with self._lock:
+            remap0 = self._remap
             scores, slots = self._dispatch(
                 queries if is_device else jnp.asarray(queries), top_k)
 
-        def finish(host):
-            scores_h, slots_h = host
+        def resolve(scores_h, slots_h):
             scores_h = np.asarray(scores_h)
             slots_h = np.asarray(slots_h)
             ids = np.where(slots_h >= 0, self._ids[np.maximum(slots_h, 0)], 0)
@@ -228,6 +236,23 @@ class FlatIndex:
             scores_h = scores_h.copy()
             scores_h[bad] = -np.inf
             return ids.astype(np.int64), scores_h
+
+        def finish(host):
+            out = resolve(*host)
+            if self._remap == remap0:
+                return out
+            # a compact() remapped slots between dispatch and this
+            # resolution — the hit slots no longer name the same vectors.
+            # Compacts are rare admin ops: re-run synchronously (bounded).
+            for _ in range(3):
+                with self._lock:
+                    r0 = self._remap
+                    s2, sl2 = self._dispatch(
+                        queries if is_device else jnp.asarray(queries), top_k)
+                out = resolve(np.asarray(s2), np.asarray(sl2))
+                if self._remap == r0:
+                    return out
+            return out
 
         return SearchPending((scores, slots), finish)
 

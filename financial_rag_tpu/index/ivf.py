@@ -194,6 +194,14 @@ class IVFIndex:
         # retrain (VERDICT r2 #7)
         self._free: Dict[int, List[int]] = {}
         self._loc_of: Dict[int, Tuple[int, int]] = {}       # child_id -> (list, slot)
+        # mutation epoch: bumped by every upsert/delete/retrain. A deferred
+        # search materializer resolves device hits through the HOST _ids
+        # map — if a mutation (e.g. tombstone-slot reuse) lands between
+        # dispatch and materialize, that map no longer describes the
+        # storage snapshot the scores came from, so the materializer
+        # detects the epoch change and re-runs the search (bounded, then
+        # fully under the lock).
+        self._mut = 0
         self._lock = threading.Lock()
         # keyed by (k, nprobe, list_size); storage rides as jit args, so
         # mutations never require invalidation — only shape changes key anew
@@ -280,6 +288,7 @@ class IVFIndex:
             self._storage, self._valid = _donated_scatter2(
                 self._storage, self._valid, jnp.asarray(li_np), jnp.asarray(sl_np),
                 payload, jnp.asarray(weights))
+            self._mut += 1
 
     def _grow_and_place(self, li: int) -> Tuple[int, int]:
         new_ls = self.list_size * 2
@@ -314,6 +323,7 @@ class IVFIndex:
             self._fill[:] = 0
             self._free = {}
             self._loc_of = {}
+            self._mut += 1
         self.train(vecs, iters=iters, seed=seed)
         self.upsert(ids, vecs)
         log.info("IVF retrained on %d vectors (%d lists)", len(ids), self.nlist)
@@ -332,6 +342,7 @@ class IVFIndex:
                 self._valid = self._valid.at[
                     jnp.asarray(np.asarray(lists, np.int32)),
                     jnp.asarray(np.asarray(slots, np.int32))].set(0.0)
+                self._mut += 1
             return len(lists)
 
     # -------------------------------------------------------------- search
@@ -392,30 +403,36 @@ class IVFIndex:
         # padded to 16 would pay 5x its probe traffic
         if b <= 8 < chunk:
             chunk = 8
-        pending = []   # (lo, pad, device (s, li, sl))
-        for lo in range(0, b, chunk):
-            qa = queries[lo: lo + chunk]
-            pad = 0
-            if qa.shape[0] < chunk:
-                pad = chunk - qa.shape[0]
-                qa = np.pad(qa, ((0, pad), (0, 0)))
-            # fn selection AND dispatch under the lock: the compiled fn
-            # bakes in list_size (a concurrent _grow_and_place would
-            # invalidate it mid-flight), and a donated in-place upsert
-            # invalidates the old storage buffer (see _donated_scatter2).
-            # Keyed cache: the nprobe auto-tune sweep revisits many
-            # (k, nprobe) pairs — one compile each, ever.
-            with self._lock:
-                key = (top_k, nprobe, self.list_size)
-                run = self._search_fns.get(key)
-                if run is None:
-                    run = self._build_search(top_k, nprobe)
-                    self._search_fns[key] = run
-                out = run(jnp.asarray(qa), self._storage, self._valid,
-                          self.centroids)
-            pending.append((lo, pad, out))
 
-        def materialize() -> Tuple[np.ndarray, np.ndarray]:
+        def dispatch():
+            pending = []   # (lo, pad, device (s, li, sl))
+            mut0 = None
+            for lo in range(0, b, chunk):
+                qa = queries[lo: lo + chunk]
+                pad = 0
+                if qa.shape[0] < chunk:
+                    pad = chunk - qa.shape[0]
+                    qa = np.pad(qa, ((0, pad), (0, 0)))
+                # fn selection AND dispatch under the lock: the compiled fn
+                # bakes in list_size (a concurrent _grow_and_place would
+                # invalidate it mid-flight), and a donated in-place upsert
+                # invalidates the old storage buffer (_donated_scatter2).
+                # Keyed cache: the nprobe auto-tune sweep revisits many
+                # (k, nprobe) pairs — one compile each, ever.
+                with self._lock:
+                    if mut0 is None:
+                        mut0 = self._mut
+                    key = (top_k, nprobe, self.list_size)
+                    run = self._search_fns.get(key)
+                    if run is None:
+                        run = self._build_search(top_k, nprobe)
+                        self._search_fns[key] = run
+                    out = run(jnp.asarray(qa), self._storage, self._valid,
+                              self.centroids)
+                pending.append((lo, pad, out))
+            return mut0, pending
+
+        def resolve(pending):
             out_ids = np.zeros((b, top_k), np.int64)
             out_scores = np.full((b, top_k), -np.inf, np.float32)
             for lo, pad, (s, li, sl) in pending:
@@ -429,6 +446,49 @@ class IVFIndex:
                 out_ids[lo: lo + len(ids)] = ids
                 out_scores[lo: lo + len(s)] = s
             return out_ids, out_scores
+
+        mut0, pending = dispatch()
+
+        def materialize() -> Tuple[np.ndarray, np.ndarray]:
+            # hits resolve through the HOST _ids map; a mutation between
+            # dispatch and this resolution (tombstone-slot reuse, retrain)
+            # means that map no longer describes the storage snapshot the
+            # scores came from. Detect via the epoch and re-run — twice
+            # optimistically, then once atomically under the lock (the
+            # deferred-materialize window spans a full RPC in the serving
+            # batcher, so this is reachable under churn).
+            m0, p = mut0, pending
+            for _ in range(2):
+                out = resolve(p)
+                if self._mut == m0:
+                    return out
+                m0, p = dispatch()
+            with self._lock:
+                # fully consistent: mutations take this lock
+                key = (top_k, nprobe, self.list_size)
+                run = self._search_fns.get(key)
+                if run is None:
+                    run = self._build_search(top_k, nprobe)
+                    self._search_fns[key] = run
+                out_ids = np.zeros((b, top_k), np.int64)
+                out_scores = np.full((b, top_k), -np.inf, np.float32)
+                for lo in range(0, b, chunk):
+                    qa = queries[lo: lo + chunk]
+                    pad = chunk - qa.shape[0] if qa.shape[0] < chunk else 0
+                    if pad:
+                        qa = np.pad(qa, ((0, pad), (0, 0)))
+                    s, li, sl = run(jnp.asarray(qa), self._storage,
+                                    self._valid, self.centroids)
+                    s, li, sl = np.array(s), np.array(li), np.array(sl)
+                    if pad:
+                        s, li, sl = s[:-pad], li[:-pad], sl[:-pad]
+                    ids = self._ids[li, sl]
+                    bad = s < -100.0
+                    ids[bad] = 0
+                    s[bad] = -np.inf
+                    out_ids[lo: lo + len(ids)] = ids
+                    out_scores[lo: lo + len(s)] = s
+                return out_ids, out_scores
 
         return materialize
 

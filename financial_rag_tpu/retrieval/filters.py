@@ -103,6 +103,13 @@ def build_filter(filters: Optional[dict], now: Optional[float] = None) -> Result
             sd, ed = _parse_ts(tr.get("startDate")), _parse_ts(tr.get("endDate"))
             if sd and ed and sd > ed:
                 sd, ed = ed, sd
+            # a date-only endDate ("2026-08-17") parses as MIDNIGHT at the
+            # start of that day — the user means the whole day inclusive
+            # (start=end=today must match today's documents), so extend to
+            # the end of the day
+            ed_raw = tr.get("endDate")
+            if ed is not None and isinstance(ed_raw, str) and len(ed_raw.strip()) == 10:
+                ed += 86400 - 1
             f.min_ts = sd
             f.max_ts = ed or (now if sd else None)
     return f

@@ -47,6 +47,19 @@ from financial_rag_tpu.utils import get_logger
 log = get_logger("serving.batcher")
 
 
+def split_by_groups(groups, take, size=len) -> List[Any]:
+    """Unflatten a fused result back to per-submission pieces: for each
+    group, call ``take(lo, hi)`` over its row range. ``size(g)`` gives a
+    group's row count. The single place the slicing convention lives —
+    fused results are ordered by submission with padding only at the end."""
+    out, lo = [], 0
+    for g in groups:
+        n = size(g)
+        out.append(take(lo, lo + n))
+        lo += n
+    return out
+
+
 def _pad_to_bucket(cat: np.ndarray, bucket: int) -> np.ndarray:
     """Pad rows up to ONE fixed bucket (the batcher's max_queries), doubling
     only on overshoot. jit retraces per query-batch shape, and a fresh shape
@@ -220,11 +233,15 @@ class MicroBatcher:
         if self._closed:
             raise RuntimeError(f"MicroBatcher {self.name} is closed")
         if self._owns_gauge:
-            go_direct = self._active.enter() <= self.direct_limit
+            count = self._active.enter()
             on_done = self._leave
         else:
-            go_direct = self._active.value() <= self.direct_limit
+            count = self._active.value()
             on_done = None
+        # direct_limit == 0 means NO direct lane (pure coalescing, or a
+        # plain-fn batcher with no begin split) — the shared gauge reads 0
+        # when idle, so the comparison alone would mis-route there
+        go_direct = 0 < self.direct_limit and count <= self.direct_limit
         if go_direct:
             try:
                 thunk = self.fn_begin([payload])
@@ -236,12 +253,15 @@ class MicroBatcher:
             return _DirectSlot(thunk, on_done or (lambda: None))
         slot = _Slot(payload, max(weight, 1), on_done=on_done)
         self._q.put(slot)
-        if self._closed:
-            # submit raced close(): the worker may already have exited.
-            # The close() drain handles queued slots; nothing to do here —
-            # wait() will raise the error the drain set. (ADVICE r2: slots
-            # enqueued behind the sentinel used to block forever.)
-            pass
+        if self._closed and not slot.event.is_set():
+            # submit raced close(): the worker and the close() drain may
+            # BOTH already be done, leaving this slot unserviced forever —
+            # fail it here. (If the worker did pick it up, the result
+            # landed before event.set() and wait() returns it; failing an
+            # already-completed slot is a no-op because wait() checks the
+            # event first.)
+            slot.error = RuntimeError(f"MicroBatcher {self.name} is closed")
+            slot.event.set()
         return slot
 
     def _leave(self) -> None:
@@ -324,7 +344,13 @@ class MicroBatcher:
             self._inflight.release()
             self._fail(batch, e)
             return
-        self._pool.submit(self._finish, batch, thunk, release=True)
+        try:
+            self._pool.submit(self._finish, batch, thunk, release=True)
+        except RuntimeError:
+            # close() shut the pool after its join timed out while this
+            # worker was blocked on the in-flight semaphore: finish inline
+            # so the batch's waiters are never stranded
+            self._finish(batch, thunk, release=True)
 
     def _finish(self, batch: List[_Slot], thunk, release: bool = False) -> None:
         try:
@@ -387,11 +413,7 @@ class BatchingEncoder(_Delegate):
         return [t for g in groups for t in g]
 
     def _split(self, groups: List[List[str]], vecs: np.ndarray) -> List[np.ndarray]:
-        out, lo = [], 0
-        for g in groups:
-            out.append(vecs[lo: lo + len(g)])
-            lo += len(g)
-        return out
+        return split_by_groups(groups, lambda lo, hi: vecs[lo:hi])
 
     def _run(self, groups: List[List[str]]) -> List[np.ndarray]:
         return self._split(groups, self.inner.encode(self._flatten(groups)))
@@ -440,11 +462,7 @@ class BatchingCrossEncoder(_Delegate):
 
         def thunk():
             scores = materialize()
-            out, lo = [], 0
-            for g in groups:
-                out.append(scores[lo: lo + len(g)])
-                lo += len(g)
-            return out
+            return split_by_groups(groups, lambda lo, hi: scores[lo:hi])
 
         return thunk
 
@@ -542,13 +560,11 @@ class MultiIndexBatcher:
 
                         def thunk():
                             per_model = dict(zip(names, collect(pendings)))  # ONE RPC
-                            out, lo = [], 0
-                            for g in groups:
-                                n = len(next(iter(g.values())))
-                                out.append({m: (ids[lo: lo + n], sc[lo: lo + n])
-                                            for m, (ids, sc) in per_model.items()})
-                                lo += n
-                            return out
+                            return split_by_groups(
+                                groups,
+                                lambda lo, hi: {m: (ids[lo:hi], sc[lo:hi])
+                                                for m, (ids, sc) in per_model.items()},
+                                size=lambda g: len(next(iter(g.values()))))
 
                         return thunk
 
@@ -597,11 +613,7 @@ class BatchingIndex(_Delegate):
         return _pad_to_bucket(np.concatenate(groups, axis=0), self.max_queries)
 
     def _split(self, groups, ids, scores):
-        out, lo = [], 0
-        for g in groups:
-            out.append((ids[lo: lo + len(g)], scores[lo: lo + len(g)]))
-            lo += len(g)
-        return out
+        return split_by_groups(groups, lambda lo, hi: (ids[lo:hi], scores[lo:hi]))
 
     def _batcher_for(self, top_k: int, kwargs: dict) -> MicroBatcher:
         key = (top_k, tuple(sorted(kwargs.items())))

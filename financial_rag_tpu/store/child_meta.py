@@ -27,6 +27,12 @@ class ChildMetaStore:
         self.db_path = str(db_path)
         self._local = threading.local()
         self._mem: Dict[int, dict] = {}
+        # mirror generation: bumped before AND after every write
+        # transaction. A reader only populates the mirror if the generation
+        # was stable across its SELECT — otherwise a read that raced a
+        # re-ingest could cache the PRE-commit row forever (the mirror has
+        # no TTL).
+        self._gen = 0
         with self._conn() as c:
             c.execute(
                 """CREATE TABLE IF NOT EXISTS children (
@@ -60,6 +66,7 @@ class ChildMetaStore:
              ch["snippet"], ch.get("context"), ch.get("source_path"), ch.get("source_mtime"))
             for ch in children
         ]
+        self._gen += 1   # entering a write: invalidate in-flight reads
         for r in rows:  # keep the memory mirror coherent with overwrites
             self._mem.pop(r[0], None)
         with self._conn() as c:
@@ -76,6 +83,12 @@ class ChildMetaStore:
                      source_mtime=excluded.source_mtime""",
                 rows,
             )
+        self._gen += 1   # commit landed: readers may mirror fresh rows again
+        # re-pop: a racing reader may have mirrored the OLD row between the
+        # first pop and the commit; after this pop any repopulation SELECTs
+        # post-commit data
+        for r in rows:
+            self._mem.pop(r[0], None)
         return len(rows)
 
     def get_children(self, child_ids: Sequence[int]) -> Dict[int, dict]:
@@ -94,6 +107,7 @@ class ChildMetaStore:
             else:
                 uniq.append(cid)
         uniq = list(dict.fromkeys(uniq))
+        gen0 = self._gen
         # chunk the IN clause to stay under SQLite's variable limit
         for lo in range(0, len(uniq), 500):
             batch = uniq[lo: lo + 500]
@@ -101,14 +115,20 @@ class ChildMetaStore:
             cur = self._conn().execute(
                 f"SELECT child_id, parent_id, document_id, snippet, context, "
                 f"source_path, source_mtime FROM children WHERE child_id IN ({marks})", batch)
+            # mirror rows only when no write overlapped the SELECT (gen
+            # stable) — a racing upsert's pop-then-commit window could
+            # otherwise be repopulated with the pre-commit row, which the
+            # TTL-less mirror would then serve forever
+            mirror = self._gen == gen0
             for cid, pid, doc, snippet, context, path, mtime in cur.fetchall():
                 row = {"child_id": cid, "parent_id": pid, "document_id": doc,
                        "snippet": snippet, "context": context,
                        "source_path": path, "source_mtime": mtime}
                 out[cid] = row
-                if len(mem) >= self.MEM_CAP:
-                    mem.clear()
-                mem[cid] = row
+                if mirror and self._gen == gen0:
+                    if len(mem) >= self.MEM_CAP:
+                        mem.clear()
+                    mem[cid] = row
         return out
 
     def children_of_document(self, document_id: str) -> List[int]:

@@ -43,6 +43,11 @@ class FeedbackDatabase:
         # every read path calls first so reads always see prior writes).
         self._pending: List[tuple] = []
         self._plock = threading.Lock()
+        # serializes whole flushes: without it a reader's flush_writes could
+        # see _pending empty and return while the writer thread holds
+        # popped-but-uncommitted ops — its SELECT would then miss completed
+        # queries despite the "reads observe deferred writes" contract
+        self._flush_lock = threading.Lock()
         self._cache_pending: Dict[str, dict] = {}
         self._writer_started = False
         self._init_schema()
@@ -162,7 +167,14 @@ class FeedbackDatabase:
 
     def flush_writes(self) -> None:
         """Commit all deferred writes in one transaction. Reads call this
-        first, so analytics always observe completed queries."""
+        first, so analytics always observe completed queries. The flush
+        lock makes that guarantee hold against a CONCURRENT flush: a caller
+        blocks until any in-flight pop+commit completes rather than
+        returning while those ops are still uncommitted."""
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         with self._plock:
             ops, self._pending = self._pending, []
         if not ops:

@@ -206,3 +206,66 @@ def test_multivector_upsert_after_search_visible(rng):
     idx.delete([999])
     hits = idx.search_aggregate(probe, top_k=4)
     assert all(h["child_id"] != 999 for h in hits)
+
+
+def test_ivf_materialize_after_slot_reuse_is_consistent(rng):
+    """A mutation landing between a deferred search's dispatch and its
+    materialization (the serving batcher's window spans a full RPC) must
+    not resolve old hits through the NEW slot->id map: with tombstone-slot
+    reuse, vector X's score would otherwise surface under fresh id Y."""
+    idx = _make("ivf")
+    x = _unit(rng, 96)
+    ids = np.arange(1, 97, dtype=np.int64)
+    idx.upsert(ids, x)
+    probe = _unit(rng, 1)
+    idx.upsert([500], probe)
+    idx.search(probe, 4)  # prime compile
+
+    # dispatch, THEN delete the top hit and reuse its slot for a new id.
+    # The replacement must route to the SAME posting list (same nearest
+    # centroid) to pop the freed slot, but have a clearly different true
+    # similarity to `probe` — search for such a vector by mixing probe
+    # with an orthogonal direction.
+    m = idx.search_begin(probe, 4)
+    loc = idx._loc_of[500]
+    idx.delete([500])
+    g = _unit(rng, 1)
+    ortho = g - (g @ probe.T) * probe
+    ortho /= np.linalg.norm(ortho)
+    repl = None
+    for a in (0.8, 0.85, 0.9, 0.95):
+        cand = a * probe + np.sqrt(1 - a * a) * ortho
+        if int(idx._assignments(cand)[0, 0]) == loc[0]:
+            repl = cand
+            break
+    if repl is None:
+        pytest.skip("no same-list replacement found for this seed")
+    true_cos = float((repl @ probe.T).item())
+    idx.upsert([999], repl)
+    assert idx._loc_of[999] == loc, "test setup: slot was not reused"
+
+    got_ids, got_scores = m()
+    # stale resolution would return id 999 carrying the DELETED probe's
+    # ~1.0 score; the epoch-guarded re-run returns 999 with its true
+    # similarity (or another vector entirely)
+    for cid, s in zip(got_ids[0].tolist(), got_scores[0].tolist()):
+        if cid == 999:
+            assert abs(s - true_cos) < 2e-2, (s, true_cos)
+
+
+def test_flat_materialize_after_compact_is_consistent(rng):
+    """compact() remaps every slot; a deferred materializer must re-run
+    rather than resolve old slots through the new map."""
+    idx = _make("flat")
+    x = _unit(rng, 64)
+    ids = np.arange(1, 65, dtype=np.int64)
+    idx.upsert(ids, x)
+    idx.delete(list(range(1, 31)))   # tombstones so compact remaps
+    q = x[40:41]                     # exact vector of id 41
+    idx.search(q, 4)                 # prime
+
+    pending = idx.search_begin(q, 4)
+    assert idx.compact() == 30       # remap between dispatch and get
+    got_ids, got_scores = pending.get()
+    assert got_ids[0, 0] == 41, got_ids[0]
+    assert got_scores[0, 0] == pytest.approx(1.0, abs=1e-3)
