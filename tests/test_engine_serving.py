@@ -369,3 +369,48 @@ class TestProcessor:
         # the engine should now see the updated content
         res = engine.query("what is the updated monthly rent now")
         assert "50,000" in res["answer"]
+
+
+class TestActiveGauge:
+    """The engine brackets every request (incl. streaming and error paths)
+    with the shared ActiveCount used by the serving batchers' adaptive
+    direct-lane policy — a leaked enter() would permanently inflate the
+    gauge and silently disable the direct lane."""
+
+    def _engine(self, stack):
+        from financial_rag_tpu.serving.batcher import ActiveCount
+
+        engine = stack[0]
+        engine.active = ActiveCount()
+        return engine
+
+    def test_query_balances_gauge(self, stack):
+        engine = self._engine(stack)
+        engine.query("what is the rent")
+        assert engine.active.value() == 0
+
+    def test_stream_balances_gauge(self, stack):
+        engine = self._engine(stack)
+        list(engine.query_stream("what is the gst amount"))
+        assert engine.active.value() == 0
+
+    def test_error_path_balances_gauge(self, stack, monkeypatch):
+        engine = self._engine(stack)
+        def boom(*a, **k):
+            raise RuntimeError("retrieval exploded")
+        monkeypatch.setattr(engine.hybrid, "retrieve_children", boom)
+        out = engine.query("anything")
+        assert not out["success"]
+        assert engine.active.value() == 0
+        events = dict(engine.query_stream("anything"))
+        assert events["complete"]["success"] is False
+        assert engine.active.value() == 0
+
+    def test_abandoned_stream_balances_gauge(self, stack):
+        """A consumer that stops mid-stream must still release the gauge
+        when the generator is closed (GeneratorExit runs the finally)."""
+        engine = self._engine(stack)
+        gen = engine.query_stream("what is the rent")
+        next(gen)           # chunks event only
+        gen.close()
+        assert engine.active.value() == 0
