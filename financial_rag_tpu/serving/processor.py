@@ -88,18 +88,46 @@ class DocumentProcessor:
 
             processed, skipped, failed = [], [], []
             force = set(force_paths or [])
+            todo = []
             for path in paths:
-                try:
-                    if path in force or self.ledger.needs_processing(path):
-                        changed = path in force or self.ledger.has_changed(path)
-                        self._process_one(path, cleanup=changed)
-                        processed.append(path)
-                    else:
-                        skipped.append(path)
-                except Exception as e:  # noqa: BLE001 — per-doc isolation
-                    log.exception("failed to process %s", path)
-                    self.ledger.mark(path, error=str(e))
-                    failed.append(path)
+                if path in force or self.ledger.needs_processing(path):
+                    todo.append(path)
+                else:
+                    skipped.append(path)
+
+            # pipelined sweep: extract + dispatch doc N+1's device encode
+            # while doc N's encode is in flight, then finish (SQLite +
+            # index upserts) doc N — the ingest_begin/finish overlap
+            # (ingest/pipeline.py); per-doc failures isolate to their doc
+            prev = None   # (path, pending) with a successfully dispatched begin
+            for path in todo + [None]:
+                nxt = None
+                if path is not None:
+                    try:
+                        pending = self._begin_one(
+                            path, cleanup=(path in force or self.ledger.has_changed(path)))
+                        if pending is None:   # empty document: nothing to finish
+                            self.ledger.mark(path, chunked=True, embedded=True, error=None)
+                            processed.append(path)
+                        else:
+                            nxt = (path, pending)
+                    except Exception as e:  # noqa: BLE001 — per-doc isolation
+                        log.exception("failed to process %s", path)
+                        self.ledger.mark(path, error=str(e))
+                        failed.append(path)
+                if prev is not None:
+                    prev_path, prev_pending = prev
+                    try:
+                        stats = self.pipeline.ingest_finish(prev_pending)
+                        self.ledger.mark(prev_path, chunked=True,
+                                         embedded="error" not in stats,
+                                         error=stats.get("error"))
+                        processed.append(prev_path)
+                    except Exception as e:  # noqa: BLE001
+                        log.exception("failed to ingest %s", prev_path)
+                        self.ledger.mark(prev_path, error=str(e))
+                        failed.append(prev_path)
+                prev = nxt
             self.ledger.save()
             if processed and self.on_sweep_complete is not None:
                 try:
@@ -110,7 +138,11 @@ class DocumentProcessor:
         finally:
             self._busy = False
 
-    def _process_one(self, path: str, cleanup: bool) -> None:
+    def _begin_one(self, path: str, cleanup: bool):
+        """Extract + chunk + DISPATCH the device encode for one document;
+        returns the pending handle for pipeline.ingest_finish (None for an
+        empty document). The caller finishes the PREVIOUS document while
+        this one's encode is in flight."""
         doc_id = Path(path).stem
         if cleanup and path in self.ledger.states:
             log.info("document %s changed; cleaning old artifacts", doc_id)
@@ -119,10 +151,13 @@ class DocumentProcessor:
 
         extracted = run_marker(path, self.extracted_dir / doc_id)
         self.ledger.mark(path, extracted=True, extracted_path=str(extracted), error=None)
+        return self.pipeline.ingest_begin(
+            extracted, doc_id, source_path=path, source_mtime=st.mtime)
 
-        stats = self.pipeline.ingest_extracted_json(
-            extracted, doc_id,
-            source_path=path, source_mtime=st.mtime)
+    def _process_one(self, path: str, cleanup: bool) -> None:
+        """Single-document convenience (admin reprocess of one file)."""
+        pending = self._begin_one(path, cleanup)
+        stats = self.pipeline.ingest_finish(pending) if pending is not None else {}
         self.ledger.mark(path, chunked=True,
                          embedded="error" not in stats, error=stats.get("error"))
 
