@@ -77,6 +77,11 @@ class ShardedFlatIndex:
         self._ids = np.zeros((self.capacity,), np.int64)
         self._slot_of: Dict[int, int] = {}
         self._fill = np.zeros(self.n_shards, np.int64)  # next local slot per shard
+        # slot-remap epoch: _grow() renumbers EVERY slot (global slot =
+        # shard*cap + local). A search resolving device hits through the
+        # host _ids map after a concurrent grow would attribute old slots
+        # to the new numbering — detect via the epoch and re-run.
+        self._remap = 0
         self._lock = threading.Lock()
         self._search_fn: Dict[Tuple, object] = {}
 
@@ -121,6 +126,7 @@ class ShardedFlatIndex:
             new_ids[ns] = cid
         self._slot_of = remap
         self._ids = new_ids
+        self._remap += 1
         self.cap_per_shard = new_cap
         self.capacity = new_cap * self.n_shards
         self._vectors = jax.device_put(
@@ -263,13 +269,26 @@ class ShardedFlatIndex:
         if not self._slot_of:
             return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
 
-        fn = self._search_fn.get(top_k)
-        if fn is None:
-            fn = self._build_search(top_k)
-            self._search_fn[top_k] = fn
-        with self.mesh:
-            s, gi = fn(jnp.asarray(queries), self._vectors, self._valid)
-        s, gi = np.array(s), np.array(gi)
+        # retry on remap: _grow() renumbers every slot, so a grow landing
+        # between this dispatch and the host _ids resolution would map old
+        # slots through the new numbering. Bounded retries; growth is
+        # doubling-cadence rare, so a second collision is ~impossible.
+        for _ in range(4):
+            # snapshot under the lock: an in-flight upsert replaces
+            # _vectors and _valid one after the other — reading the pair
+            # atomically keeps payload and dequantization weights matched
+            with self._lock:
+                remap0 = self._remap
+                vectors, valid = self._vectors, self._valid
+                fn = self._search_fn.get(top_k)
+                if fn is None:
+                    fn = self._build_search(top_k)
+                    self._search_fn[top_k] = fn
+            with self.mesh:
+                s, gi = fn(jnp.asarray(queries), vectors, valid)
+            s, gi = np.array(s), np.array(gi)
+            if self._remap == remap0:
+                break
         ids = np.where(gi >= 0, self._ids[np.maximum(gi, 0)], 0)
         bad = s < -100.0
         ids[bad] = 0
