@@ -125,6 +125,28 @@ class TestFilters:
         assert passes_filter(f, None, jan)
         assert not passes_filter(f, None, jul)
 
+    def test_custom_range_end_day_inclusive(self):
+        """A date-only endDate means the WHOLE end day: start=end=today
+        must match documents modified during today (the UI's date inputs
+        send date-only strings; midnight-exclusive parsing silently
+        returned zero results)."""
+        from datetime import datetime
+
+        f = build_filter({"timeRange": {"type": "custom",
+                                        "startDate": "2024-06-01",
+                                        "endDate": "2024-06-01"}})
+        noon = datetime.fromisoformat("2024-06-01T12:00:00").timestamp()
+        end_of_day = datetime.fromisoformat("2024-06-01T23:59:58").timestamp()
+        next_day = datetime.fromisoformat("2024-06-02T00:00:02").timestamp()
+        assert passes_filter(f, None, noon)
+        assert passes_filter(f, None, end_of_day)
+        assert not passes_filter(f, None, next_day)
+        # an explicit timestamped endDate stays exact (no day extension)
+        f2 = build_filter({"timeRange": {"type": "custom",
+                                         "startDate": "2024-06-01T00:00:00",
+                                         "endDate": "2024-06-01T06:00:00"}})
+        assert not passes_filter(f2, None, noon)
+
     def test_all_type_inactive(self):
         f = build_filter({"timeRange": {"type": "all"}})
         assert not f.active
