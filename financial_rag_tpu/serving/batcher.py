@@ -29,8 +29,9 @@ coalesce:
   the raw objects, so the hybrid query path submits to ALL batchers
   before waiting on any.
 
-Enabled with SERVE_MICROBATCH=1 (config.serving.microbatch). Mutating /
-persistence calls pass through unbatched.
+ON by default (config.serving.microbatch; SERVE_MICROBATCH=0 disables —
+the adaptive direct lane makes low-concurrency behavior identical to
+thread-per-request). Mutating / persistence calls pass through unbatched.
 """
 
 from __future__ import annotations
