@@ -97,13 +97,6 @@ class FlatIndex:
         self._ids = np.zeros((self.capacity,), np.int64)
         self._slot_of: Dict[int, int] = {}
         self._next_slot = 0
-        # slot-remap epoch: bumped by compact(), the only operation that
-        # reassigns slot->id (deletes zero _ids, which downstream filters;
-        # new upserts take fresh slots that the old snapshot scored
-        # invalid). A deferred materializer that sees the epoch change
-        # re-runs its search — the deferred window spans a full RPC in the
-        # serving batcher, so a concurrent /admin/compact is reachable.
-        self._remap = 0
         self._lock = threading.Lock()
         self._search_fns: Dict[Tuple, object] = {}
 
@@ -177,6 +170,9 @@ class FlatIndex:
 
             self._vectors = jnp.zeros((self.capacity, self.dim), self.dtype)
             self._valid = jnp.zeros((self.capacity,), jnp.float32)
+            # REPLACE (never renumber in place): deferred materializers
+            # resolve ids through a reference snapshotted at dispatch — the
+            # old array must keep the old numbering for them
             self._ids = np.zeros((self.capacity,), np.int64)
             self._slot_of = {}
             for new_slot, (cid, _) in enumerate(live):
@@ -188,7 +184,6 @@ class FlatIndex:
                 self._vectors = self._vectors.at[idxs].set(vectors)
                 # carry each row's dequantization weight with it
                 self._valid = self._valid.at[idxs].set(weights)
-            self._remap += 1
             log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
             return reclaimed
 
@@ -221,38 +216,29 @@ class FlatIndex:
 
         # under the lock: a donated in-place upsert invalidates the old
         # storage buffer, so a search racing it could dispatch a deleted
-        # array (pre-donation it merely read stale data)
+        # array (pre-donation it merely read stale data). The _ids
+        # REFERENCE is snapshotted with the dispatch: compact() replaces
+        # the array object when it renumbers slots, so a deferred
+        # materializer resolving through this snapshot always uses the
+        # numbering its scores were computed under. (In-place mutations of
+        # the snapshot are benign: delete zeroes an id -> filtered; an
+        # upsert's fresh slot was scored invalid in the dispatched
+        # storage.)
         with self._lock:
-            remap0 = self._remap
+            ids_host = self._ids
             scores, slots = self._dispatch(
                 queries if is_device else jnp.asarray(queries), top_k)
 
-        def resolve(scores_h, slots_h):
+        def finish(host):
+            scores_h, slots_h = host
             scores_h = np.asarray(scores_h)
             slots_h = np.asarray(slots_h)
-            ids = np.where(slots_h >= 0, self._ids[np.maximum(slots_h, 0)], 0)
+            ids = np.where(slots_h >= 0, ids_host[np.maximum(slots_h, 0)], 0)
             bad = scores_h < -100.0
             ids[bad] = 0
             scores_h = scores_h.copy()
             scores_h[bad] = -np.inf
             return ids.astype(np.int64), scores_h
-
-        def finish(host):
-            out = resolve(*host)
-            if self._remap == remap0:
-                return out
-            # a compact() remapped slots between dispatch and this
-            # resolution — the hit slots no longer name the same vectors.
-            # Compacts are rare admin ops: re-run synchronously (bounded).
-            for _ in range(3):
-                with self._lock:
-                    r0 = self._remap
-                    s2, sl2 = self._dispatch(
-                        queries if is_device else jnp.asarray(queries), top_k)
-                out = resolve(np.asarray(s2), np.asarray(sl2))
-                if self._remap == r0:
-                    return out
-            return out
 
         return SearchPending((scores, slots), finish)
 

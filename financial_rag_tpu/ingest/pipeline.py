@@ -37,6 +37,26 @@ def collection_slug(model_name: str) -> str:
     return "children_" + re.sub(r"[^a-z0-9]+", "_", model_name.lower()).strip("_")
 
 
+def pipelined_sweep(items, begin, finish) -> None:
+    """The begin/finish overlap skeleton shared by ingest_paths and the
+    serving processor's sweep: begin(item N+1) is dispatched BEFORE
+    finish(item N) runs, so the next item's host work (parse, chunk,
+    tokenize, extraction) overlaps the previous item's in-flight device
+    encode. ``begin(item)`` returns a pending handle or None (handled /
+    failed / empty — callers record their own outcome); ``finish(item,
+    pending)`` must not raise for flow control (callers catch)."""
+    prev = None   # (item, pending)
+    for item in list(items) + [None]:
+        nxt = None
+        if item is not None:
+            pending = begin(item)
+            if pending is not None:
+                nxt = (item, pending)
+        if prev is not None:
+            finish(*prev)
+        prev = nxt
+
+
 class IngestionPipeline:
     def __init__(
         self,
@@ -190,25 +210,27 @@ class IngestionPipeline:
         overlap doc N's device encode. items: (path, doc_id) pairs.
         Per-document failures are recorded and skipped."""
         results: List[Optional[dict]] = [None] * len(items)
-        prev: Optional[tuple] = None  # (position, doc_id, pending)
-        for pos, (path, doc_id) in enumerate(items + [(None, None)]):
-            pending = None
-            if path is not None:
-                try:
-                    pending = self.ingest_begin(path, doc_id)
-                    if pending is None:
-                        results[pos] = {"document_id": doc_id, "parents": 0, "children": 0}
-                except Exception as e:  # noqa: BLE001 — ingest must keep going
-                    log.error("failed to ingest %s: %s", path, e)
-                    results[pos] = {"document_id": doc_id, "error": str(e)}
-            if prev is not None:
-                prev_pos, prev_id, prev_pending = prev
-                try:
-                    results[prev_pos] = self.ingest_finish(prev_pending)
-                except Exception as e:  # noqa: BLE001
-                    log.error("failed to ingest %s: %s", prev_id, e)
-                    results[prev_pos] = {"document_id": prev_id, "error": str(e)}
-            prev = (pos, doc_id, pending) if pending is not None else None
+
+        def begin(pos):
+            path, doc_id = items[pos]
+            try:
+                pending = self.ingest_begin(path, doc_id)
+                if pending is None:
+                    results[pos] = {"document_id": doc_id, "parents": 0, "children": 0}
+                return pending
+            except Exception as e:  # noqa: BLE001 — ingest must keep going
+                log.error("failed to ingest %s: %s", path, e)
+                results[pos] = {"document_id": doc_id, "error": str(e)}
+                return None
+
+        def finish(pos, pending):
+            try:
+                results[pos] = self.ingest_finish(pending)
+            except Exception as e:  # noqa: BLE001
+                log.error("failed to ingest %s: %s", items[pos][0], e)
+                results[pos] = {"document_id": items[pos][1], "error": str(e)}
+
+        pipelined_sweep(range(len(items)), begin, finish)
         return results
 
     def flush(self) -> None:

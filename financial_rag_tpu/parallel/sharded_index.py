@@ -77,11 +77,6 @@ class ShardedFlatIndex:
         self._ids = np.zeros((self.capacity,), np.int64)
         self._slot_of: Dict[int, int] = {}
         self._fill = np.zeros(self.n_shards, np.int64)  # next local slot per shard
-        # slot-remap epoch: _grow() renumbers EVERY slot (global slot =
-        # shard*cap + local). A search resolving device hits through the
-        # host _ids map after a concurrent grow would attribute old slots
-        # to the new numbering — detect via the epoch and re-run.
-        self._remap = 0
         self._lock = threading.Lock()
         self._search_fn: Dict[Tuple, object] = {}
 
@@ -125,8 +120,10 @@ class ShardedFlatIndex:
             remap[cid] = ns
             new_ids[ns] = cid
         self._slot_of = remap
+        # REPLACE (never mutate in place): searches resolve ids through a
+        # snapshotted reference taken under the lock — the old array must
+        # keep the old slot numbering for their in-flight resolutions
         self._ids = new_ids
-        self._remap += 1
         self.cap_per_shard = new_cap
         self.capacity = new_cap * self.n_shards
         self._vectors = jax.device_put(
@@ -216,16 +213,26 @@ class ShardedFlatIndex:
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
+        # snapshot under the lock: a concurrent upsert/_grow would
+        # otherwise checkpoint ids and vectors from different epochs
+        # (post-grow numbering against pre-grow rows)
+        with self._lock:
+            vectors_h = np.asarray(self._vectors, np.float32)
+            valid_h = np.asarray(self._valid)
+            ids_h = self._ids.copy()
+            fill_h = self._fill.copy()
+            cap = self.cap_per_shard
+            n = self.count()
         atomic_savez(
             d / f"{self.name}.npz",
-            vectors=np.asarray(self._vectors, np.float32),
-            valid=np.asarray(self._valid),
-            ids=self._ids,
-            fill=self._fill,
+            vectors=vectors_h,
+            valid=valid_h,
+            ids=ids_h,
+            fill=fill_h,
         )
         atomic_write_json(d / f"{self.name}.manifest.json", {
             "name": self.name, "dim": self.dim, "n_shards": self.n_shards,
-            "cap_per_shard": self.cap_per_shard, "count": self.count(),
+            "cap_per_shard": cap, "count": n,
             "dtype": dtype_name(self.dtype),
         })
 
@@ -269,27 +276,25 @@ class ShardedFlatIndex:
         if not self._slot_of:
             return np.zeros((b, top_k), np.int64), np.full((b, top_k), -np.inf, np.float32)
 
-        # retry on remap: _grow() renumbers every slot, so a grow landing
-        # between this dispatch and the host _ids resolution would map old
-        # slots through the new numbering. Bounded retries; growth is
-        # doubling-cadence rare, so a second collision is ~impossible.
-        for _ in range(4):
-            # snapshot under the lock: an in-flight upsert replaces
-            # _vectors and _valid one after the other — reading the pair
-            # atomically keeps payload and dequantization weights matched
-            with self._lock:
-                remap0 = self._remap
-                vectors, valid = self._vectors, self._valid
-                fn = self._search_fn.get(top_k)
-                if fn is None:
-                    fn = self._build_search(top_k)
-                    self._search_fn[top_k] = fn
-            with self.mesh:
-                s, gi = fn(jnp.asarray(queries), vectors, valid)
-            s, gi = np.array(s), np.array(gi)
-            if self._remap == remap0:
-                break
-        ids = np.where(gi >= 0, self._ids[np.maximum(gi, 0)], 0)
+        # snapshot EVERYTHING under the lock: _grow() renumbers every slot
+        # and replaces the _ids ARRAY OBJECT, so resolving through the
+        # snapshotted reference stays consistent with the snapshotted
+        # vectors no matter what lands afterwards. (In-place mutations of
+        # the snapshot are benign: delete zeroes an id -> filtered; an
+        # upsert's fresh slot has valid=0 in the vectors snapshot -> its
+        # score is already filtered.) Snapshotting vectors/valid as a pair
+        # also keeps payload and dequantization weights matched across an
+        # in-flight upsert.
+        with self._lock:
+            vectors, valid, ids_host = self._vectors, self._valid, self._ids
+            fn = self._search_fn.get(top_k)
+            if fn is None:
+                fn = self._build_search(top_k)
+                self._search_fn[top_k] = fn
+        with self.mesh:
+            s, gi = fn(jnp.asarray(queries), vectors, valid)
+        s, gi = np.array(s), np.array(gi)
+        ids = np.where(gi >= 0, ids_host[np.maximum(gi, 0)], 0)
         bad = s < -100.0
         ids[bad] = 0
         s[bad] = -np.inf

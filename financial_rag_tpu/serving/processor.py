@@ -86,48 +86,55 @@ class DocumentProcessor:
                 log.info("source removed, purging document %s", doc_id)
                 self.pipeline.remove_document(doc_id)
 
+            from financial_rag_tpu.ingest.pipeline import pipelined_sweep
+
             processed, skipped, failed = [], [], []
             force = set(force_paths or [])
             todo = []
             for path in paths:
-                if path in force or self.ledger.needs_processing(path):
-                    todo.append(path)
-                else:
-                    skipped.append(path)
+                try:
+                    if path in force or self.ledger.needs_processing(path):
+                        todo.append(path)
+                    else:
+                        skipped.append(path)
+                except Exception as e:  # noqa: BLE001 — per-doc isolation:
+                    # a file vanishing between scan and here must not abort
+                    # the sweep for every other document
+                    log.exception("failed to stat %s", path)
+                    self.ledger.mark(path, error=str(e))
+                    failed.append(path)
 
-            # pipelined sweep: extract + dispatch doc N+1's device encode
-            # while doc N's encode is in flight, then finish (SQLite +
-            # index upserts) doc N — the ingest_begin/finish overlap
-            # (ingest/pipeline.py); per-doc failures isolate to their doc
-            prev = None   # (path, pending) with a successfully dispatched begin
-            for path in todo + [None]:
-                nxt = None
-                if path is not None:
-                    try:
-                        pending = self._begin_one(
-                            path, cleanup=(path in force or self.ledger.has_changed(path)))
-                        if pending is None:   # empty document: nothing to finish
-                            self.ledger.mark(path, chunked=True, embedded=True, error=None)
-                            processed.append(path)
-                        else:
-                            nxt = (path, pending)
-                    except Exception as e:  # noqa: BLE001 — per-doc isolation
-                        log.exception("failed to process %s", path)
-                        self.ledger.mark(path, error=str(e))
-                        failed.append(path)
-                if prev is not None:
-                    prev_path, prev_pending = prev
-                    try:
-                        stats = self.pipeline.ingest_finish(prev_pending)
-                        self.ledger.mark(prev_path, chunked=True,
-                                         embedded="error" not in stats,
-                                         error=stats.get("error"))
-                        processed.append(prev_path)
-                    except Exception as e:  # noqa: BLE001
-                        log.exception("failed to ingest %s", prev_path)
-                        self.ledger.mark(prev_path, error=str(e))
-                        failed.append(prev_path)
-                prev = nxt
+            # pipelined sweep (pipelined_sweep): extract + dispatch doc
+            # N+1's device encode while doc N's encode is in flight, then
+            # finish (SQLite + index upserts) doc N; per-doc failures
+            # isolate to their doc
+            def begin(path):
+                try:
+                    pending = self._begin_one(
+                        path, changed=(path in force or self.ledger.has_changed(path)))
+                    if pending is None:   # empty document: nothing to finish
+                        self.ledger.mark(path, chunked=True, embedded=True, error=None)
+                        processed.append(path)
+                    return pending
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    log.exception("failed to process %s", path)
+                    self.ledger.mark(path, error=str(e))
+                    failed.append(path)
+                    return None
+
+            def finish(path, pending):
+                try:
+                    stats = self._finish_one(path, pending)
+                    self.ledger.mark(path, chunked=True,
+                                     embedded="error" not in stats,
+                                     error=stats.get("error"))
+                    processed.append(path)
+                except Exception as e:  # noqa: BLE001
+                    log.exception("failed to ingest %s", path)
+                    self.ledger.mark(path, error=str(e))
+                    failed.append(path)
+
+            pipelined_sweep(todo, begin, finish)
             self.ledger.save()
             if processed and self.on_sweep_complete is not None:
                 try:
@@ -138,28 +145,37 @@ class DocumentProcessor:
         finally:
             self._busy = False
 
-    def _begin_one(self, path: str, cleanup: bool):
+    def _begin_one(self, path: str, changed: bool):
         """Extract + chunk + DISPATCH the device encode for one document;
-        returns the pending handle for pipeline.ingest_finish (None for an
-        empty document). The caller finishes the PREVIOUS document while
-        this one's encode is in flight."""
+        returns the pending handle for _finish_one (None for an empty
+        document — a changed-to-empty doc purges its old content here).
+        The caller finishes the PREVIOUS document while this one's encode
+        is in flight. Cleanup of a CHANGED document's old content is
+        deferred to _finish_one, so the old version stays searchable until
+        the new one replaces it — pipelining would otherwise extend the
+        invisibility window across the NEXT document's extraction."""
         doc_id = Path(path).stem
-        if cleanup and path in self.ledger.states:
-            log.info("document %s changed; cleaning old artifacts", doc_id)
-            self.pipeline.remove_document(doc_id)
         st = self.ledger.refresh_entry(path)
 
         extracted = run_marker(path, self.extracted_dir / doc_id)
         self.ledger.mark(path, extracted=True, extracted_path=str(extracted), error=None)
-        return self.pipeline.ingest_begin(
+        pending = self.pipeline.ingest_begin(
             extracted, doc_id, source_path=path, source_mtime=st.mtime)
+        if pending is None:
+            if changed:
+                log.info("document %s changed to empty; purging old content", doc_id)
+                self.pipeline.remove_document(doc_id)
+            return None
+        pending["_purge_old"] = changed
+        return pending
 
-    def _process_one(self, path: str, cleanup: bool) -> None:
-        """Single-document convenience (admin reprocess of one file)."""
-        pending = self._begin_one(path, cleanup)
-        stats = self.pipeline.ingest_finish(pending) if pending is not None else {}
-        self.ledger.mark(path, chunked=True,
-                         embedded="error" not in stats, error=stats.get("error"))
+    def _finish_one(self, path: str, pending: dict) -> dict:
+        doc_id = Path(path).stem
+        if pending.pop("_purge_old", False):
+            # blue/green switch: old content served until this moment
+            log.info("document %s changed; replacing old artifacts", doc_id)
+            self.pipeline.remove_document(doc_id)
+        return self.pipeline.ingest_finish(pending)
 
     # ---------------------------------------------------------------- admin
 

@@ -54,8 +54,8 @@ def main():
     stop = threading.Event()
     errors = []
     wrong_doc = []
-    counts = {"queries": 0, "churns": 0, "maintenance": 0}
-    rng_global = np.random.default_rng(7)
+    per_worker_queries = [0] * args.threads   # no shared counter races
+    counts = {"churns": 0, "maintenance": 0}
 
     # churn documents: ingested/removed through the REAL pipeline so the
     # indexes see upsert/delete storms while queries are in flight. Each
@@ -72,7 +72,8 @@ def main():
     def query_worker(wid: int):
         rng = np.random.default_rng(wid)
         while not stop.is_set():
-            q = " ".join(rng.choice(WORDS, size=4)) + f" soak{wid}_{counts['queries']}"
+            q = (" ".join(rng.choice(WORDS, size=4))
+                 + f" soak{wid}_{per_worker_queries[wid]}")   # unique per worker
             try:
                 out = rt.engine.query(q)
                 if not out.get("success"):
@@ -86,7 +87,7 @@ def main():
                         wrong_doc.append((doc, text[:60]))
             except Exception as e:  # noqa: BLE001 — count, don't crash
                 errors.append(("query", repr(e)[:120]))
-            counts["queries"] += 1
+            per_worker_queries[wid] += 1
 
     def churn_worker():
         i = 0
@@ -128,11 +129,12 @@ def main():
     rt.engine.flush_background()
 
     gauge = rt.engine.active.value() if rt.engine.active is not None else 0
+    n_queries = sum(per_worker_queries)
     row = {
         "metric": "serving soak (concurrent query + ingest churn + compact/save)",
         "seconds": round(wall, 1),
-        "queries": counts["queries"],
-        "qps": round(counts["queries"] / wall, 1),
+        "queries": n_queries,
+        "qps": round(n_queries / wall, 1),
         "churn_cycles": counts["churns"],
         "maintenance_cycles": counts["maintenance"],
         "errors": len(errors),
