@@ -269,3 +269,31 @@ def test_flat_materialize_after_compact_is_consistent(rng):
     got_ids, got_scores = pending.get()
     assert got_ids[0, 0] == 41, got_ids[0]
     assert got_scores[0, 0] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_id_maps_are_replaced_not_renumbered_in_place(rng):
+    """Deferred materializers resolve ids through a REFERENCE snapshotted
+    at dispatch; any operation that renumbers slots must therefore REPLACE
+    the id-map array object (never renumber in place). Pins the invariant
+    the snapshot fix relies on."""
+    import jax
+
+    # FlatIndex.compact
+    flat = _make("flat")
+    flat.upsert(np.arange(1, 65, dtype=np.int64), _unit(rng, 64))
+    flat.delete(list(range(1, 11)))
+    before = flat._ids
+    assert flat.compact() == 10
+    assert flat._ids is not before, "compact renumbered _ids in place"
+
+    # ShardedFlatIndex._grow (capacity rounds up to 1024/shard; fill both
+    # shards to the brim, then one more row forces the doubling)
+    mesh = search_mesh(devices=jax.devices()[:2])
+    sh = ShardedFlatIndex(mesh, dim=D, capacity_per_shard=1024, dtype=jnp.float32)
+    n = sh.cap_per_shard * sh.n_shards
+    sh.upsert(np.arange(1, n + 1, dtype=np.int64), _unit(rng, n))
+    before = sh._ids
+    cap0 = sh.cap_per_shard
+    sh.upsert([n + 5], _unit(rng, 1))   # overflow -> grow
+    assert sh.cap_per_shard > cap0, "test setup: growth did not trigger"
+    assert sh._ids is not before, "_grow renumbered _ids in place"
