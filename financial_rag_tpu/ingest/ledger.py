@@ -30,6 +30,13 @@ class DocumentState:
     embedded: bool = False
     last_processed: Optional[float] = None
     error: Optional[str] = None
+    # a CHANGED document's old content must be purged before its new
+    # content commits (blue/green replace). The flag persists so a failed
+    # attempt can't lose the purge: refresh_entry records the new sha at
+    # begin-time, after which has_changed() is False — without this flag a
+    # retry would re-ingest while the superseded version's children stay
+    # live forever.
+    pending_purge: bool = False
 
 
 def file_sha256(path: str | Path, chunk_size: int = 1 << 20) -> str:
@@ -103,11 +110,15 @@ class ProcessingLedger:
         return not (st.extracted and st.chunked and st.embedded)
 
     def refresh_entry(self, path: str) -> DocumentState:
-        """(Re)stat + hash a file into a fresh state entry."""
+        """(Re)stat + hash a file into a fresh state entry. pending_purge
+        carries over — it reflects unfinished work, not file identity."""
         stat = Path(path).stat()
         st = DocumentState(path=path, size=stat.st_size, mtime=stat.st_mtime,
                            sha256=file_sha256(path))
         with self._lock:
+            old = self.states.get(path)
+            if old is not None:
+                st.pending_purge = old.pending_purge
             self.states[path] = st
         return st
 

@@ -213,16 +213,21 @@ class ShardedFlatIndex:
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        # snapshot under the lock: a concurrent upsert/_grow would
-        # otherwise checkpoint ids and vectors from different epochs
-        # (post-grow numbering against pre-grow rows)
+        # snapshot REFERENCES under the lock (a concurrent upsert/_grow
+        # would otherwise checkpoint ids and vectors from different epochs
+        # — post-grow numbering against pre-grow rows), but materialize the
+        # multi-GB device->host gather OUTSIDE it: sharded updates are
+        # non-donated copy-on-write (upsert/delete/_grow replace the array
+        # objects), so the snapshot stays valid and searches/upserts aren't
+        # stalled behind the transfer
         with self._lock:
-            vectors_h = np.asarray(self._vectors, np.float32)
-            valid_h = np.asarray(self._valid)
+            vectors_d, valid_d = self._vectors, self._valid
             ids_h = self._ids.copy()
             fill_h = self._fill.copy()
             cap = self.cap_per_shard
             n = self.count()
+        vectors_h = np.asarray(vectors_d, np.float32)
+        valid_h = np.asarray(valid_d)
         atomic_savez(
             d / f"{self.name}.npz",
             vectors=vectors_h,

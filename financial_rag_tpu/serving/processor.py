@@ -16,7 +16,7 @@ from typing import List, Optional
 
 from financial_rag_tpu.ingest.extraction import run_marker
 from financial_rag_tpu.ingest.ledger import ProcessingLedger
-from financial_rag_tpu.ingest.pipeline import IngestionPipeline
+from financial_rag_tpu.ingest.pipeline import IngestionPipeline, pipelined_sweep
 from financial_rag_tpu.utils import get_logger
 
 log = get_logger("serving.processor")
@@ -86,8 +86,6 @@ class DocumentProcessor:
                 log.info("source removed, purging document %s", doc_id)
                 self.pipeline.remove_document(doc_id)
 
-            from financial_rag_tpu.ingest.pipeline import pipelined_sweep
-
             processed, skipped, failed = [], [], []
             force = set(force_paths or [])
             todo = []
@@ -153,20 +151,28 @@ class DocumentProcessor:
         is in flight. Cleanup of a CHANGED document's old content is
         deferred to _finish_one, so the old version stays searchable until
         the new one replaces it — pipelining would otherwise extend the
-        invisibility window across the NEXT document's extraction."""
+        invisibility window across the NEXT document's extraction. The
+        purge obligation is persisted (ledger pending_purge): refresh_entry
+        records the new sha NOW, so a failed attempt would otherwise make
+        the retry see has_changed()=False and never purge."""
         doc_id = Path(path).stem
+        prior = self.ledger.states.get(path)
+        purge = changed or (prior.pending_purge if prior else False)
         st = self.ledger.refresh_entry(path)
+        if purge:
+            self.ledger.mark(path, pending_purge=True)
 
         extracted = run_marker(path, self.extracted_dir / doc_id)
         self.ledger.mark(path, extracted=True, extracted_path=str(extracted), error=None)
         pending = self.pipeline.ingest_begin(
             extracted, doc_id, source_path=path, source_mtime=st.mtime)
         if pending is None:
-            if changed:
+            if purge:
                 log.info("document %s changed to empty; purging old content", doc_id)
                 self.pipeline.remove_document(doc_id)
+                self.ledger.mark(path, pending_purge=False)
             return None
-        pending["_purge_old"] = changed
+        pending["_purge_old"] = purge
         return pending
 
     def _finish_one(self, path: str, pending: dict) -> dict:
@@ -175,6 +181,7 @@ class DocumentProcessor:
             # blue/green switch: old content served until this moment
             log.info("document %s changed; replacing old artifacts", doc_id)
             self.pipeline.remove_document(doc_id)
+            self.ledger.mark(path, pending_purge=False)
         return self.pipeline.ingest_finish(pending)
 
     # ---------------------------------------------------------------- admin

@@ -370,6 +370,45 @@ class TestProcessor:
         res = engine.query("what is the updated monthly rent now")
         assert "50,000" in res["answer"]
 
+    def test_purge_survives_failed_attempt(self, stack, monkeypatch):
+        """A changed document whose re-ingest FAILS mid-attempt must still
+        purge its old content on the successful retry: refresh_entry
+        records the new sha at begin-time, so without the persisted
+        pending_purge flag the retry would see has_changed()=False and
+        leave the superseded version's children live forever."""
+        engine, client, tmp_path, processor, fdb = stack
+        processor.process_all()
+        src = tmp_path / "Source_Documents" / "lease.json"
+        time.sleep(0.01)
+        src.write_text(json.dumps({"blocks": [
+            {"content": "Superseding lease: rent becomes Rs 77,000 monthly. " * 10,
+             "page": 0}]}))
+
+        # first attempt dies AFTER the ledger refreshed the new sha
+        import financial_rag_tpu.serving.processor as proc_mod
+        real = proc_mod.run_marker
+        calls = {"n": 0}
+
+        def flaky(path, out_dir):
+            if str(src) in str(path) and calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("transient extractor failure")
+            return real(path, out_dir)
+
+        monkeypatch.setattr(proc_mod, "run_marker", flaky)
+        out = processor.process_all()
+        assert str(src) in out["failed"]
+        assert processor.ledger.states[str(src)].pending_purge is True
+
+        # retry succeeds and must have purged the OLD version
+        out2 = processor.process_all()
+        assert str(src) in out2["processed"]
+        assert processor.ledger.states[str(src)].pending_purge is False
+        res = engine.query("monthly rent amount")
+        texts = " ".join(c["text"] for c in res["top_children_chunks"])
+        assert "77,000" in texts
+        assert "42,800" not in texts, "superseded content still indexed"
+
 
 class TestActiveGauge:
     """The engine brackets every request (incl. streaming and error paths)
