@@ -371,4 +371,5 @@ class Runtime:
         from financial_rag_tpu.serving.app import create_app
 
         return create_app(self.engine, processor=processor, config=self.config,
-                          source_dir=str(Path(data_dir) / self.config.ingest.source_dir))
+                          source_dir=str(Path(data_dir) / self.config.ingest.source_dir),
+                          on_save=lambda: self.save_indexes(data_dir))

@@ -68,9 +68,11 @@ class RagApi:
         processor: Optional[DocumentProcessor] = None,
         config: Optional[FrameworkConfig] = None,
         source_dir: Optional[str] = None,
+        on_save=None,
     ) -> None:
         self.engine = engine
         self.processor = processor
+        self._save_hook = on_save   # runtime-provided index persistence hook
         self.cfg = config or FrameworkConfig()
         self.src_dir = Path(source_dir or self.cfg.ingest.source_dir)
         self.executor = ThreadPoolExecutor(max_workers=8, thread_name_prefix="search")
@@ -93,6 +95,7 @@ class RagApi:
             Rule("/admin/reprocess", endpoint="reprocess", methods=["POST"]),
             Rule("/admin/cleanup", endpoint="cleanup", methods=["POST"]),
             Rule("/admin/compact", endpoint="compact", methods=["POST"]),
+            Rule("/admin/save", endpoint="save", methods=["POST"]),
             Rule("/metrics", endpoint="metrics", methods=["GET"]),
             Rule("/feedback", endpoint="feedback", methods=["POST"]),
         ])
@@ -330,6 +333,16 @@ class RagApi:
                 out[name] = {"skipped": True}
         return _json({"status": "ok", "collections": out})
 
+    def on_save(self, request: Request) -> Response:
+        """Persist every index to host storage NOW (on top of the
+        automatic post-sweep persistence): an explicit checkpoint before
+        planned maintenance or shutdown."""
+        if self._save_hook is None:
+            return _json({"error": "no persistence hook configured"}, 404)
+        self._save_hook()
+        return _json({"status": "saved",
+                      "collections": list(self.engine.hybrid.indexes)})
+
     # -------------------------------------------------------------- extras
 
     def on_metrics(self, request: Request) -> Response:
@@ -359,8 +372,10 @@ def create_app(
     processor: Optional[DocumentProcessor] = None,
     config: Optional[FrameworkConfig] = None,
     source_dir: Optional[str] = None,
+    on_save=None,
 ) -> RagApi:
-    return RagApi(engine, processor=processor, config=config, source_dir=source_dir)
+    return RagApi(engine, processor=processor, config=config,
+                  source_dir=source_dir, on_save=on_save)
 
 
 def run_server(app: RagApi, host: str = "0.0.0.0", port: int = 5000) -> None:

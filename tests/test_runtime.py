@@ -251,3 +251,35 @@ class TestRuntime:
         assert client.get("/health").get_json()["status"] == "healthy"
         resp = client.post("/search", json={"query": "credit note"})
         assert resp.status_code == 200
+
+
+def test_admin_save_persists_indexes(tmp_path, monkeypatch, reference_fixture_json):
+    """POST /admin/save writes index checkpoints on demand; a fresh
+    runtime reloads them (explicit checkpoint before shutdown)."""
+    import json as json_mod
+
+    from werkzeug.test import Client
+
+    from financial_rag_tpu.runtime import Runtime
+
+    monkeypatch.chdir(tmp_path)
+    rt = Runtime.build(data_dir=tmp_path)
+    src = tmp_path / "doc.json"
+    src.write_text(json_mod.dumps(reference_fixture_json))
+    rt.pipeline.ingest_extracted_json(src, "doc1")
+
+    client = Client(rt.make_app(data_dir=tmp_path))
+    r = client.post("/admin/save")
+    assert r.status_code == 200 and r.get_json()["status"] == "saved"
+
+    persist = tmp_path / rt.config.index.persist_dir
+    assert any(persist.glob("*.npz")), "no checkpoint written"
+    rt2 = Runtime.build(data_dir=tmp_path)
+    assert all(idx.count() == rt.indexes[n].count()
+               for n, idx in rt2.indexes.items())
+
+    # without a hook (bare create_app) the endpoint 404s
+    from financial_rag_tpu.serving.app import create_app
+
+    bare = Client(create_app(rt.engine))
+    assert bare.post("/admin/save").status_code == 404
