@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -34,16 +35,20 @@ def dtype_name(dtype) -> str:
 
 def atomic_savez(path: Path, **arrays) -> None:
     """np.savez_compressed with tmp-file + rename (np appends .npz itself,
-    so the tmp name must already end in .npz)."""
+    so the tmp name must end in .npz). The tmp name is UNIQUE per call:
+    concurrent savers of the same checkpoint (/admin/save racing the
+    post-sweep persistence) must not interleave writes into one tmp file —
+    last rename wins, each rename publishing a complete archive."""
     path = Path(path)
-    tmp = path.with_name(path.stem + ".tmp.npz")
+    tmp = path.with_name(f"{path.stem}.tmp{os.getpid()}_{threading.get_ident()}.npz")
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path)
 
 
 def atomic_write_text(path: Path, text: str) -> None:
     path = Path(path)
-    tmp = path.with_name(path.name + ".tmp")
+    # unique tmp per writer (same rationale as atomic_savez)
+    tmp = path.with_name(f"{path.name}.tmp{os.getpid()}_{threading.get_ident()}")
     tmp.write_text(text)
     os.replace(tmp, path)
 

@@ -153,6 +153,15 @@ class IngestionPipeline:
         document_id = pending["document_id"]
         parents, children = pending["parents"], pending["children"]
 
+        # IDEMPOTENT re-ingest: child ids are fresh snowflakes every
+        # attempt, so any existing rows for this document are a previous
+        # version or a failed attempt's partial commit — purge them so
+        # retries and crash-replays converge instead of accumulating
+        # duplicate children (reference cleanup semantics,
+        # api_server.py:242-278, made unconditional).
+        if self.child_meta.children_of_document(document_id):
+            self.remove_document(document_id)
+
         self.parent_store.upsert_parents([
             {"parent_id": p.parent_id, "document_id": p.document_id,
              "page_start": p.page_start, "page_end": p.page_end, "content": p.content}

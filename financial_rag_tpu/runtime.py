@@ -11,6 +11,7 @@ api_server.py.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Optional
@@ -315,12 +316,18 @@ class Runtime:
         return reports
 
     def save_indexes(self, data_dir: str | Path = ".") -> None:
-        persist = Path(data_dir) / self.config.index.persist_dir
-        saved = 0
-        for idx in self.indexes.values():
-            idx.save(persist)
-            saved += 1
-        log.info("persisted %d/%d indexes to %s", saved, len(self.indexes), persist)
+        # serialize whole checkpoints: /admin/save racing the post-sweep
+        # persistence must not interleave one index's npz with the other
+        # saver's manifest (unique tmp names in persist.py make each FILE
+        # atomic; this lock makes the npz+manifest PAIR consistent)
+        lock = self.__dict__.setdefault("_save_lock", threading.Lock())
+        with lock:
+            persist = Path(data_dir) / self.config.index.persist_dir
+            saved = 0
+            for idx in self.indexes.values():
+                idx.save(persist)
+                saved += 1
+            log.info("persisted %d/%d indexes to %s", saved, len(self.indexes), persist)
 
     def make_processor(self, data_dir: str | Path = "."):
         from financial_rag_tpu.serving.processor import DocumentProcessor

@@ -48,6 +48,11 @@ class DocumentProcessor:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._busy = False
+        # serializes sweeps: the background loop and /admin/reprocess
+        # threads may enter process_all concurrently, and the per-document
+        # purge-flag protocol (read state -> refresh -> mark) is not
+        # atomic across two sweeps touching the same path
+        self._sweep_lock = threading.Lock()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -76,7 +81,13 @@ class DocumentProcessor:
     # ----------------------------------------------------------- processing
 
     def process_all(self, force_paths: Optional[List[str]] = None) -> dict:
-        """One sweep. force_paths: reprocess these regardless of state."""
+        """One sweep. force_paths: reprocess these regardless of state.
+        Sweeps serialize (self._sweep_lock): a concurrent /admin/reprocess
+        waits for the in-flight background sweep instead of interleaving."""
+        with self._sweep_lock:
+            return self._process_all_locked(force_paths)
+
+    def _process_all_locked(self, force_paths: Optional[List[str]] = None) -> dict:
         self._busy = True
         try:
             paths = self.ledger.scan(self.source_dir, exts=SOURCE_EXTS)
@@ -133,12 +144,18 @@ class DocumentProcessor:
                     failed.append(path)
 
             pipelined_sweep(todo, begin, finish)
-            self.ledger.save()
+            # persist the vector indexes BEFORE the ledger: a crash after
+            # ledger.save but before the index checkpoint would leave
+            # documents marked embedded whose vectors exist only in the
+            # lost process — permanently unsearchable after restart. The
+            # reverse order merely re-processes on restart, which the
+            # purge-first ingest_finish makes idempotent.
             if processed and self.on_sweep_complete is not None:
                 try:
                     self.on_sweep_complete()
                 except Exception:  # noqa: BLE001 — persistence must not kill the sweep
                     log.exception("on_sweep_complete failed")
+            self.ledger.save()
             return {"processed": processed, "skipped": skipped, "failed": failed}
         finally:
             self._busy = False
@@ -177,12 +194,19 @@ class DocumentProcessor:
 
     def _finish_one(self, path: str, pending: dict) -> dict:
         doc_id = Path(path).stem
-        if pending.pop("_purge_old", False):
+        purge = pending.pop("_purge_old", False)
+        if purge:
             # blue/green switch: old content served until this moment
             log.info("document %s changed; replacing old artifacts", doc_id)
             self.pipeline.remove_document(doc_id)
+        stats = self.pipeline.ingest_finish(pending)
+        if purge:
+            # clear the obligation only AFTER the new content committed: a
+            # failure inside ingest_finish leaves the flag set, so the
+            # retry purges the partial commit (ingest_finish is also
+            # idempotent-by-purge now — belt and braces)
             self.ledger.mark(path, pending_purge=False)
-        return self.pipeline.ingest_finish(pending)
+        return stats
 
     # ---------------------------------------------------------------- admin
 
