@@ -255,3 +255,76 @@ class TestAnalyticsExtras:
         assert t["Specific->Aggregation"] == 1
         assert t["Aggregation->Aggregation"] == 1
         assert "Specific->Specific" not in t
+
+
+class TestRoundThreePrimitives:
+    def test_pipelined_sweep_order_and_overlap(self):
+        """finish(N) runs after begin(N+1) (the overlap contract) and every
+        begun item is finished exactly once, in order."""
+        from financial_rag_tpu.ingest.pipeline import pipelined_sweep
+
+        events = []
+        def begin(i):
+            events.append(("begin", i))
+            return None if i == 2 else f"p{i}"   # item 2: empty/failed
+        def finish(i, pending):
+            events.append(("finish", i, pending))
+
+        pipelined_sweep([0, 1, 2, 3], begin, finish)
+        assert events == [
+            ("begin", 0),
+            ("begin", 1), ("finish", 0, "p0"),
+            ("begin", 2), ("finish", 1, "p1"),
+            ("begin", 3),                       # 2 returned None: no finish
+            ("finish", 3, "p3"),
+        ]
+
+    def test_split_by_groups(self):
+        from financial_rag_tpu.serving.batcher import split_by_groups
+
+        flat = list(range(10))
+        groups = [[1, 2], [3], [4, 5, 6]]
+        out = split_by_groups(groups, lambda lo, hi: flat[lo:hi])
+        assert out == [[0, 1], [2], [3, 4, 5]]
+        out2 = split_by_groups([{"a": [1, 2]}, {"a": [3]}],
+                               lambda lo, hi: (lo, hi),
+                               size=lambda g: len(g["a"]))
+        assert out2 == [(0, 2), (2, 3)]
+
+    def test_concurrent_atomic_savez_never_corrupts(self, tmp_path):
+        """Two writers checkpointing the same path concurrently: the
+        published file is always ONE writer's complete archive (the fixed
+        tmp filename used to interleave both writers into one file)."""
+        import threading
+
+        import numpy as np
+
+        from financial_rag_tpu.index.persist import atomic_savez
+
+        path = tmp_path / "ckpt.npz"
+        errs = []
+        def writer(tag):
+            try:
+                for _ in range(10):
+                    atomic_savez(path, data=np.full((512, 64), tag, np.float32))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+        ts = [threading.Thread(target=writer, args=(t,)) for t in (1.0, 2.0)]
+        for t in ts: t.start()
+        for t in ts: t.join()
+        assert not errs
+        data = np.load(path)["data"]
+        assert data.shape == (512, 64)
+        assert len(np.unique(data)) == 1 and data[0, 0] in (1.0, 2.0)
+
+    def test_active_count(self):
+        from financial_rag_tpu.serving.batcher import ActiveCount
+
+        g = ActiveCount()
+        assert g.value() == 0
+        assert g.enter() == 1
+        assert g.enter() == 2
+        g.leave()
+        assert g.value() == 1
+        g.leave()
+        assert g.value() == 0
