@@ -41,16 +41,27 @@ def atomic_savez(path: Path, **arrays) -> None:
     last rename wins, each rename publishing a complete archive."""
     path = Path(path)
     tmp = path.with_name(f"{path.stem}.tmp{os.getpid()}_{threading.get_ident()}.npz")
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp, path)
+    try:
+        np.savez_compressed(tmp, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        # unique tmp names don't self-heal by overwrite: a failed write
+        # (e.g. ENOSPC, retried every sweep) must not leak a file per
+        # attempt
+        tmp.unlink(missing_ok=True)
+        raise
 
 
 def atomic_write_text(path: Path, text: str) -> None:
     path = Path(path)
-    # unique tmp per writer (same rationale as atomic_savez)
+    # unique tmp per writer (same rationale + cleanup as atomic_savez)
     tmp = path.with_name(f"{path.name}.tmp{os.getpid()}_{threading.get_ident()}")
-    tmp.write_text(text)
-    os.replace(tmp, path)
+    try:
+        tmp.write_text(text)
+        os.replace(tmp, path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
 
 
 def atomic_write_json(path: Path, obj) -> None:

@@ -153,25 +153,29 @@ class IngestionPipeline:
         document_id = pending["document_id"]
         parents, children = pending["parents"], pending["children"]
 
-        # IDEMPOTENT re-ingest: child ids are fresh snowflakes every
-        # attempt, so any existing rows for this document are a previous
-        # version or a failed attempt's partial commit — purge them so
-        # retries and crash-replays converge instead of accumulating
-        # duplicate children (reference cleanup semantics,
-        # api_server.py:242-278, made unconditional).
-        if self.child_meta.children_of_document(document_id):
-            self.remove_document(document_id)
+        # IDEMPOTENT re-ingest: ids are fresh snowflakes every attempt, so
+        # any existing rows for this document are a previous version or a
+        # failed attempt's partial commit — purge them so retries and
+        # crash-replays converge instead of accumulating duplicates
+        # (reference cleanup semantics, api_server.py:242-278, made
+        # unconditional). The fetched ids feed remove_document directly
+        # (no second SELECT). Children commit BEFORE parents so a crash
+        # between the two leaves rows this children-keyed guard sees —
+        # parents-first would orphan parent rows invisibly.
+        old_children = self.child_meta.children_of_document(document_id)
+        if old_children:
+            self.remove_document(document_id, child_ids=old_children)
 
-        self.parent_store.upsert_parents([
-            {"parent_id": p.parent_id, "document_id": p.document_id,
-             "page_start": p.page_start, "page_end": p.page_end, "content": p.content}
-            for p in parents
-        ])
         self.child_meta.upsert_children([
             {"child_id": ch.child_id, "parent_id": ch.parent_id,
              "document_id": document_id, "snippet": ch.content, "context": ch.context,
              "source_path": pending["source_path"], "source_mtime": pending["source_mtime"]}
             for ch in children
+        ])
+        self.parent_store.upsert_parents([
+            {"parent_id": p.parent_id, "document_id": p.document_id,
+             "page_start": p.page_start, "page_end": p.page_end, "content": p.content}
+            for p in parents
         ])
 
         ids = np.asarray([ch.child_id for ch in children], np.int64)
@@ -260,10 +264,13 @@ class IngestionPipeline:
                  if not path.name.endswith("_meta.json")]
         return self.ingest_paths(items)
 
-    def remove_document(self, document_id: str) -> dict:
+    def remove_document(self, document_id: str, *,
+                        child_ids: Optional[List[int]] = None) -> dict:
         """Delete a document's parents, children and vectors (re-ingest /
-        cleanup semantics, reference api_server.py:242-278)."""
-        child_ids = self.child_meta.children_of_document(document_id)
+        cleanup semantics, reference api_server.py:242-278). ``child_ids``:
+        pre-fetched ids (skips the lookup on the ingest hot path)."""
+        if child_ids is None:
+            child_ids = self.child_meta.children_of_document(document_id)
         removed = {name: idx.delete(child_ids) for name, idx in self.indexes.items()}
         if self.multivector_index is not None:
             removed["multivector"] = self.multivector_index.delete(child_ids)

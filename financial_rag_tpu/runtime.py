@@ -100,6 +100,9 @@ class Runtime:
     dense_retriever: ParentContextRetriever
     engine: RAGEngine
     ledger: ProcessingLedger
+    # serializes whole index checkpoints (save_indexes docstring)
+    _save_lock: threading.Lock = field(default_factory=threading.Lock,
+                                       init=False, repr=False)
 
     @classmethod
     def build(cls, config: Optional[FrameworkConfig] = None,
@@ -320,8 +323,7 @@ class Runtime:
         # persistence must not interleave one index's npz with the other
         # saver's manifest (unique tmp names in persist.py make each FILE
         # atomic; this lock makes the npz+manifest PAIR consistent)
-        lock = self.__dict__.setdefault("_save_lock", threading.Lock())
-        with lock:
+        with self._save_lock:
             persist = Path(data_dir) / self.config.index.persist_dir
             saved = 0
             for idx in self.indexes.values():

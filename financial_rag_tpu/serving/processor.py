@@ -92,10 +92,12 @@ class DocumentProcessor:
         try:
             paths = self.ledger.scan(self.source_dir, exts=SOURCE_EXTS)
             # purge documents whose sources were deleted
+            purged = 0
             for gone in self.ledger.remove_missing(paths):
                 doc_id = Path(gone).stem
                 log.info("source removed, purging document %s", doc_id)
                 self.pipeline.remove_document(doc_id)
+                purged += 1
 
             processed, skipped, failed = [], [], []
             force = set(force_paths or [])
@@ -149,12 +151,21 @@ class DocumentProcessor:
             # documents marked embedded whose vectors exist only in the
             # lost process — permanently unsearchable after restart. The
             # reverse order merely re-processes on restart, which the
-            # purge-first ingest_finish makes idempotent.
-            if processed and self.on_sweep_complete is not None:
+            # purge-first ingest_finish makes idempotent. Deletion-only
+            # sweeps persist too: the in-memory purge must not resurrect
+            # from a stale checkpoint as metadata-less ghost vectors.
+            if (processed or purged) and self.on_sweep_complete is not None:
                 try:
                     self.on_sweep_complete()
-                except Exception:  # noqa: BLE001 — persistence must not kill the sweep
+                except Exception as e:  # noqa: BLE001 — must not kill the sweep
                     log.exception("on_sweep_complete failed")
+                    # a FAILED checkpoint (not just a crash) must not let
+                    # the ledger durably claim these documents are
+                    # embedded — clear the flag so the next sweep retries
+                    # (idempotent re-ingest makes that safe)
+                    for p in processed:
+                        self.ledger.mark(p, embedded=False,
+                                         error=f"index persistence failed: {e}")
             self.ledger.save()
             return {"processed": processed, "skipped": skipped, "failed": failed}
         finally:
