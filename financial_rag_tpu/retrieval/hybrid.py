@@ -92,7 +92,7 @@ class HybridRetriever:
         # sweep batcher, concurrent REQUESTS additionally share that one
         # round trip.
         with time_block("hybrid.search"):
-            if self.sweep_batcher is not None:
+            if self.sweep_batcher is not None and not self.sweep_batcher.bypass():
                 by_model = self.sweep_batcher.search_all(
                     per_model_vecs, self.fusion_cfg.per_query_k)
                 results = [by_model[name] for name in per_model_vecs]

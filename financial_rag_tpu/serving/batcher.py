@@ -577,6 +577,17 @@ class MultiIndexBatcher:
                     self._batchers[top_k] = mb
         return mb
 
+    def bypass(self) -> bool:
+        """True while system concurrency is at or below the direct limit:
+        the caller should take its RAW per-request path — the literal
+        thread-per-request code, zero wrapper overhead — instead of
+        submitting here. (The MicroBatcher's own direct lane still pays a
+        group wrap, a pad to DIRECT_BUCKET rows and slot plumbing —
+        measured ~3% at 16 threads; the bypass makes low-load behavior
+        IDENTICAL by construction.)"""
+        return (self.direct > 0 and self.active is not None
+                and self.active.value() <= self.direct)
+
     def search_all(self, per_model_vecs: Dict[str, np.ndarray],
                    top_k: int) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Blocking fused sweep of every index; returns

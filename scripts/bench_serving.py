@@ -207,8 +207,8 @@ def main():
     # Build BOTH runtimes up front, then INTERLEAVE the mode drives across
     # repetitions: the tunneled chip's RPC latency drifts minute-to-minute
     # (the same config measured 424 and 671 QPS ten minutes apart), so
-    # back-to-back alternation + median is the only honest comparison.
-    reps = 3
+    # back-to-back ABBA alternation + median is the only honest comparison.
+    reps = 4
     tmp_off = tempfile.TemporaryDirectory()
     tmp_on = tempfile.TemporaryDirectory()
     rts = {False: build_runtime(tmp_off.name, False, args.chunks, seed=0),
@@ -217,9 +217,14 @@ def main():
     samples = {}   # (mode, threads) -> list of drive results
     for rep in range(reps):
         for n_threads in thread_counts:
-            # off/on back-to-back: the drift is minute-scale, so the
-            # comparison must be adjacent, not phase-separated
-            for mode in (False, True):
+            # ABBA: off/on adjacency alone is not enough — the tunnel
+            # systematically favors the FIRST drive after a pause, so a
+            # fixed order biases whichever mode runs second (measured:
+            # an on-mode 16T drive running the LITERAL off-mode code via
+            # the bypass still read 0.76-0.98 of off when always second;
+            # alternating the order per rep cancels it to ~1.0)
+            order = (False, True) if rep % 2 == 0 else (True, False)
+            for mode in order:
                 n_q = max(args.queries, n_threads * 8)
                 r = drive(rts[mode], n_threads, n_q, seed=10 * rep + n_threads)
                 rts[mode].engine.flush_background()
