@@ -187,9 +187,12 @@ class FlatIndex:
             log.info("compacted index %s: reclaimed %d slots", self.name, reclaimed)
             return reclaimed
 
-    # a class-level flag (not hasattr): delegating wrappers (BatchingIndex)
+    # class-level flags (not hasattr): delegating wrappers (BatchingIndex)
     # forward attribute lookups, so hasattr would lie through them
     supports_search_begin = True
+    # search_begin takes jax.Array queries without a host round trip — a
+    # chained encoder output feeds the sweep directly (retrieval/hybrid.py)
+    accepts_device_queries = True
 
     def search_begin(self, queries: np.ndarray, top_k: int):
         """Dispatch a batched search WITHOUT materializing: returns a

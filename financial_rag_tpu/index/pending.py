@@ -45,7 +45,15 @@ def ready(ids: np.ndarray, scores: np.ndarray) -> SearchPending:
     return SearchPending(None, lambda _: (ids, scores))
 
 
-def collect(pendings: Sequence[SearchPending]) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Materialize many pendings with ONE device transfer."""
-    host = jax.device_get([p.refs for p in pendings])
-    return [p.finish(h) for p, h in zip(pendings, host)]
+def collect(pendings: Sequence[SearchPending], extra=None):
+    """Materialize many pendings with ONE device transfer.
+
+    ``extra``: optional pytree of device arrays fetched in the SAME
+    transfer (e.g. the query embeddings a chained encode produced, pulled
+    for the host-side cache without a second RPC). When given, returns
+    ``(results, extra_host)`` instead of just ``results``."""
+    if extra is None:
+        host = jax.device_get([p.refs for p in pendings])
+        return [p.finish(h) for p, h in zip(pendings, host)]
+    host, extra_host = jax.device_get(([p.refs for p in pendings], extra))
+    return [p.finish(h) for p, h in zip(pendings, host)], extra_host

@@ -384,6 +384,23 @@ class DualEncoder:
                 out[name] = enc.encode(texts)
         return out
 
+    def cached_all(self, texts: Sequence[str]) -> Optional[Dict[str, np.ndarray]]:
+        """Every (model, text) embedding straight from the query cache, or
+        None if ANY is missing. Callers with a device-chained path (the
+        hybrid raw lane) re-encode the WHOLE batch on a miss: at query
+        sizes a 3-row forward costs the same device call as a 1-row one,
+        and the all-or-nothing contract keeps the chained dispatch free of
+        per-row host plumbing."""
+        if self.cache is None or not len(texts):
+            return None
+        out: Dict[str, np.ndarray] = {}
+        for name in self.encoders:
+            vecs = [self.cache.get(name, t) for t in texts]
+            if any(v is None for v in vecs):
+                return None
+            out[name] = np.stack(vecs)
+        return out
+
     def encode_all(self, texts: Sequence[str], use_cache: bool = False) -> Dict[str, np.ndarray]:
         """Per-model embeddings: {model_name: [N, D]}. use_cache routes
         through the md5 embedding cache (query side only)."""

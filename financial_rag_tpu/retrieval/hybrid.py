@@ -69,9 +69,16 @@ class HybridRetriever:
         max_children = max_children or self.fusion_cfg.candidates
         queries = normalize_query(self.llm, question)
 
-        # ---- dense: batch the query variants per encoder, one sweep per index
-        with time_block("hybrid.encode"):
-            per_model_vecs = self.dual_encoder.encode_all(queries, use_cache=True)
+        # ---- dense: batch the query variants per encoder, one sweep per index.
+        # Above the direct concurrency limit the per-model sweeps coalesce
+        # across REQUESTS (serving/batcher.py), which needs host vectors; at
+        # or below it the raw lane chains the encoder output into the sweeps
+        # on device (_dense_results_chained).
+        use_batcher = (self.sweep_batcher is not None
+                       and not self.sweep_batcher.bypass())
+        if use_batcher:
+            with time_block("hybrid.encode"):
+                per_model_vecs = self.dual_encoder.encode_all(queries, use_cache=True)
 
         ranked_lists: List[List[Tuple[int, float]]] = []
 
@@ -85,30 +92,13 @@ class HybridRetriever:
                         qtok, top_k=self.fusion_cfg.per_query_k)
                     ranked_lists.append([(h["child_id"], h["score"]) for h in hits])
 
-        # Dispatch every index's sweep before materializing any: through a
-        # tunneled chip each host pull is a full RPC, so the two per-model
-        # sweeps collapse from 4 round trips to ONE combined device_get
-        # (index/pending.py; measured 66ms/sweep -> 27ms total). With the
-        # sweep batcher, concurrent REQUESTS additionally share that one
-        # round trip.
-        with time_block("hybrid.search"):
-            if self.sweep_batcher is not None and not self.sweep_batcher.bypass():
+        if use_batcher:
+            with time_block("hybrid.search"):
                 by_model = self.sweep_batcher.search_all(
                     per_model_vecs, self.fusion_cfg.per_query_k)
                 results = [by_model[name] for name in per_model_vecs]
-            else:
-                from financial_rag_tpu.index.pending import collect, ready
-
-                pendings = []
-                for name, vecs in per_model_vecs.items():
-                    idx = self.indexes[name]
-                    if getattr(type(idx), "supports_search_begin", False):
-                        pendings.append(idx.search_begin(vecs, self.fusion_cfg.per_query_k))
-                    else:
-                        # index without the dispatch/materialize split:
-                        # blocking call
-                        pendings.append(ready(*idx.search(vecs, self.fusion_cfg.per_query_k)))
-                results = collect(pendings)
+        else:
+            results = self._dense_results_chained(queries)
         for ids, scores in results:
             for qi in range(len(queries)):
                 lst = [(int(c), float(s)) for c, s in zip(ids[qi], scores[qi]) if c != 0]
@@ -174,6 +164,69 @@ class HybridRetriever:
             for cid, score in ranked
         ]
         return child_chunks, child_parent, queries
+
+    def _dense_results_chained(self, queries: List[str]):
+        """Raw-lane dense sweeps with the encoder output chained on device.
+
+        Thread-per-request's floor through a tunneled chip is its HOST
+        MATERIALIZATION count: the encode-then-search shape pays two
+        encoder pulls plus one sweep collect per request (~3 serialized
+        RPCs). When every serving index accepts jax.Array queries
+        (FlatIndex.accepts_device_queries), the encoder forwards dispatch
+        device-out, their [N, D] outputs feed the sweep dispatches without
+        crossing the host boundary, and the sweep results AND the query
+        vectors (to fill the md5 embedding cache) come back in ONE combined
+        device_get — 3 round trips -> 1. Indexes without device-query
+        support (IVF assigns probes host-side) keep the host handoff; a
+        full cache hit skips the encode entirely (unchanged fast path)."""
+        import jax
+
+        from financial_rag_tpu.index.pending import collect, ready
+
+        de = self.dual_encoder
+        k = self.fusion_cfg.per_query_k
+        cached = de.cached_all(queries)
+        chain = cached is None and all(
+            getattr(type(idx), "accepts_device_queries", False)
+            for idx in self.indexes.values())
+        if cached is not None:
+            handles: Dict[str, object] = cached
+        elif chain:
+            with time_block("hybrid.encode"):
+                # dispatch-only: device-out materializers run an on-device
+                # gather (encoders lacking the split return host arrays —
+                # both are fine below)
+                begun = de.encode_all_begin(queries, device_out=True)
+                handles = {n: (m() if callable(m) else m) for n, m in begun.items()}
+        else:
+            with time_block("hybrid.encode"):
+                handles = de.encode_all(queries, use_cache=True)
+
+        pendings = []
+        for name, vecs in handles.items():
+            idx = self.indexes[name]
+            if getattr(type(idx), "supports_search_begin", False):
+                pendings.append(idx.search_begin(vecs, k))
+            else:
+                # index without the dispatch/materialize split: blocking call
+                pendings.append(ready(*idx.search(np.asarray(vecs), k)))
+
+        with time_block("hybrid.search"):
+            if chain and de.cache is not None:
+                dev = [n for n, v in handles.items() if isinstance(v, jax.Array)]
+                results, vec_host = collect(pendings, extra=[handles[n] for n in dev])
+                for name, hv in zip(dev, vec_host):
+                    arr = np.asarray(hv, np.float32)
+                    for i, t in enumerate(queries):
+                        de.cache.put(name, t, arr[i])
+                for name, v in handles.items():
+                    if name not in dev:  # host-side encoder output
+                        arr = np.asarray(v, np.float32)
+                        for i, t in enumerate(queries):
+                            de.cache.put(name, t, arr[i])
+            else:
+                results = collect(pendings)
+        return results
 
     def _hitk_diagnostic(self, ranked, child_docs) -> None:
         expect = (self.retrieval_cfg.hitk_expect_contains or "").strip()

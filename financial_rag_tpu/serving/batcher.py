@@ -268,6 +268,14 @@ class MicroBatcher:
     def _leave(self) -> None:
         self._active.leave()
 
+    def direct_now(self) -> bool:
+        """True while the adaptive policy would run a submission direct
+        (the submit_begin gate, read without entering the gauge); lets a
+        wrapper route around the queue entirely — e.g. the device-out
+        encode that must reach the INNER encoder (BatchingEncoder
+        .encode_begin_device)."""
+        return 0 < self.direct_limit and self._active.value() <= self.direct_limit
+
     def submit(self, payload, weight: int = 1):
         return self.submit_begin(payload, weight).wait()
 
@@ -429,6 +437,24 @@ class BatchingEncoder(_Delegate):
             return lambda: self.inner.encode(texts)
         slot = self.batcher.submit_begin(texts, weight=len(texts))
         return slot.wait
+
+    # device-out passthrough: coalescing requires the fused result split
+    # host-side, so a QUEUED submission can only yield host arrays — but at
+    # or below the direct concurrency limit the adaptive policy runs the
+    # call in the submitting thread anyway, and there the inner encoder's
+    # device materializer can be handed out untouched (feeds the chained
+    # encode->sweep raw lane, retrieval/hybrid.py). Above the limit this
+    # falls back to the queued host path; callers handle both
+    # (DualEncoder.encode_all_begin contract).
+    supports_device_out = True
+
+    def encode_begin_device(self, texts: Sequence[str], *, seqs=None):
+        inner = self.inner
+        if (getattr(type(inner), "supports_device_out", False)
+                and self.batcher.direct_now()):
+            self.batcher.direct_calls += 1
+            return inner.encode_begin_device(texts, seqs=seqs)
+        return self.encode_begin(texts)
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         return self.encode_begin(texts)()
