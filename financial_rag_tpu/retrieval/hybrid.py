@@ -30,6 +30,72 @@ from financial_rag_tpu.utils import get_logger, time_block
 log = get_logger("retrieval.hybrid")
 
 
+def chained_dense_search(dual_encoder, indexes: Dict[str, FlatIndex],
+                         queries: List[str], top_k: int, *,
+                         timer_prefix: str = "dense"):
+    """Per-model dense sweeps with the encoder output chained on device;
+    returns ``[(ids [B, k], scores [B, k])]`` in encoder order.
+
+    A request's floor through a tunneled chip is its HOST MATERIALIZATION
+    count: the encode-then-search shape pays two encoder pulls plus one
+    sweep collect (~3 serialized RPCs). When every index accepts jax.Array
+    queries (FlatIndex.accepts_device_queries), the encoder forwards
+    dispatch device-out, their [N, D] outputs feed the sweep dispatches
+    without crossing the host boundary, and the sweep results AND the
+    query vectors (to fill the md5 embedding cache) come back in ONE
+    combined device_get — 3 round trips -> 1. Indexes without device-query
+    support (IVF assigns probes host-side) keep the host handoff; a full
+    cache hit skips the encode entirely. Shared by the hybrid raw lane and
+    the dense-only retriever (reference retriever.py:80-107 semantics)."""
+    import jax
+
+    from financial_rag_tpu.index.pending import collect, ready
+
+    de = dual_encoder
+    cached = de.cached_all(queries)
+    chain = cached is None and all(
+        getattr(type(idx), "accepts_device_queries", False)
+        for idx in indexes.values())
+    if cached is not None:
+        handles: Dict[str, object] = cached
+    elif chain:
+        with time_block(f"{timer_prefix}.encode"):
+            # dispatch-only: device-out materializers run an on-device
+            # gather (encoders lacking the split return host arrays —
+            # both are fine below)
+            begun = de.encode_all_begin(queries, device_out=True)
+            handles = {n: (m() if callable(m) else m) for n, m in begun.items()}
+    else:
+        with time_block(f"{timer_prefix}.encode"):
+            handles = de.encode_all(queries, use_cache=True)
+
+    pendings = []
+    for name, vecs in handles.items():
+        idx = indexes[name]
+        if getattr(type(idx), "supports_search_begin", False):
+            pendings.append(idx.search_begin(vecs, top_k))
+        else:
+            # index without the dispatch/materialize split: blocking call
+            pendings.append(ready(*idx.search(np.asarray(vecs), top_k)))
+
+    with time_block(f"{timer_prefix}.search"):
+        if chain and de.cache is not None:
+            dev = [n for n, v in handles.items() if isinstance(v, jax.Array)]
+            results, vec_host = collect(pendings, extra=[handles[n] for n in dev])
+            for name, hv in zip(dev, vec_host):
+                arr = np.asarray(hv, np.float32)
+                for i, t in enumerate(queries):
+                    de.cache.put(name, t, arr[i])
+            for name, v in handles.items():
+                if name not in dev:  # host-side encoder output
+                    arr = np.asarray(v, np.float32)
+                    for i, t in enumerate(queries):
+                        de.cache.put(name, t, arr[i])
+        else:
+            results = collect(pendings)
+    return results
+
+
 class HybridRetriever:
     def __init__(
         self,
@@ -166,67 +232,9 @@ class HybridRetriever:
         return child_chunks, child_parent, queries
 
     def _dense_results_chained(self, queries: List[str]):
-        """Raw-lane dense sweeps with the encoder output chained on device.
-
-        Thread-per-request's floor through a tunneled chip is its HOST
-        MATERIALIZATION count: the encode-then-search shape pays two
-        encoder pulls plus one sweep collect per request (~3 serialized
-        RPCs). When every serving index accepts jax.Array queries
-        (FlatIndex.accepts_device_queries), the encoder forwards dispatch
-        device-out, their [N, D] outputs feed the sweep dispatches without
-        crossing the host boundary, and the sweep results AND the query
-        vectors (to fill the md5 embedding cache) come back in ONE combined
-        device_get — 3 round trips -> 1. Indexes without device-query
-        support (IVF assigns probes host-side) keep the host handoff; a
-        full cache hit skips the encode entirely (unchanged fast path)."""
-        import jax
-
-        from financial_rag_tpu.index.pending import collect, ready
-
-        de = self.dual_encoder
-        k = self.fusion_cfg.per_query_k
-        cached = de.cached_all(queries)
-        chain = cached is None and all(
-            getattr(type(idx), "accepts_device_queries", False)
-            for idx in self.indexes.values())
-        if cached is not None:
-            handles: Dict[str, object] = cached
-        elif chain:
-            with time_block("hybrid.encode"):
-                # dispatch-only: device-out materializers run an on-device
-                # gather (encoders lacking the split return host arrays —
-                # both are fine below)
-                begun = de.encode_all_begin(queries, device_out=True)
-                handles = {n: (m() if callable(m) else m) for n, m in begun.items()}
-        else:
-            with time_block("hybrid.encode"):
-                handles = de.encode_all(queries, use_cache=True)
-
-        pendings = []
-        for name, vecs in handles.items():
-            idx = self.indexes[name]
-            if getattr(type(idx), "supports_search_begin", False):
-                pendings.append(idx.search_begin(vecs, k))
-            else:
-                # index without the dispatch/materialize split: blocking call
-                pendings.append(ready(*idx.search(np.asarray(vecs), k)))
-
-        with time_block("hybrid.search"):
-            if chain and de.cache is not None:
-                dev = [n for n, v in handles.items() if isinstance(v, jax.Array)]
-                results, vec_host = collect(pendings, extra=[handles[n] for n in dev])
-                for name, hv in zip(dev, vec_host):
-                    arr = np.asarray(hv, np.float32)
-                    for i, t in enumerate(queries):
-                        de.cache.put(name, t, arr[i])
-                for name, v in handles.items():
-                    if name not in dev:  # host-side encoder output
-                        arr = np.asarray(v, np.float32)
-                        for i, t in enumerate(queries):
-                            de.cache.put(name, t, arr[i])
-            else:
-                results = collect(pendings)
-        return results
+        return chained_dense_search(
+            self.dual_encoder, self.indexes, queries,
+            self.fusion_cfg.per_query_k, timer_prefix="hybrid")
 
     def _hitk_diagnostic(self, ranked, child_docs) -> None:
         expect = (self.retrieval_cfg.hitk_expect_contains or "").strip()

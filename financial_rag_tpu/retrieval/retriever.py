@@ -36,14 +36,19 @@ class ParentContextRetriever:
         self.rrf_k = rrf_k
 
     def query(self, text: str, top_k: int = 8, dedup_parents: int = 4) -> dict:
-        with time_block("retriever.encode"):
-            per_model = self.dual_encoder.encode_all([text], use_cache=True)
+        # chained encode->sweep with one combined host pull (see
+        # hybrid.chained_dense_search; same discipline as the hybrid raw
+        # lane — the sequential per-model search() loop this replaces paid
+        # ~4 RPC round trips per query through a tunneled chip)
+        from financial_rag_tpu.retrieval.hybrid import chained_dense_search
+
+        results = chained_dense_search(
+            self.dual_encoder, self.indexes, [text], top_k,
+            timer_prefix="retriever")
 
         ranked_lists: List[List[int]] = []
         scores_by_child: Dict[int, float] = {}
-        for name, qvec in per_model.items():
-            with time_block("retriever.search"):
-                ids, scores = self.indexes[name].search(qvec, top_k)
+        for ids, scores in results:
             lst = [int(cid) for cid in ids[0] if cid != 0]
             ranked_lists.append(lst)
             for cid, s in zip(ids[0], scores[0]):
