@@ -460,7 +460,17 @@ class IVFIndex:
             m0, p = mut0, pending
             for _ in range(2):
                 out = resolve(p)
-                if self._mut == m0:
+                # epoch re-check UNDER THE LOCK: every mutator rewrites
+                # _ids/_free in place while holding _lock and bumps _mut as
+                # its last step, so a lock-free `self._mut == m0` could pass
+                # while a writer has already rewritten _ids but not yet
+                # bumped (the classic broken-seqlock window). Taking the
+                # lock here means any in-progress mutation finishes (and its
+                # bump becomes visible) before we accept the optimistic
+                # resolve — a torn read above is then always detected.
+                with self._lock:
+                    clean = self._mut == m0
+                if clean:
                     return out
                 m0, p = dispatch()
             with self._lock:

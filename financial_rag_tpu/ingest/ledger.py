@@ -55,6 +55,13 @@ class ProcessingLedger:
         self.state_path = Path(state_path)
         self._lock = threading.Lock()
         self.states: Dict[str, DocumentState] = {}
+        # doc_ids purged from the in-memory indexes whose purge has NOT yet
+        # been captured by a successful index checkpoint. remove_missing
+        # deletes the ledger entry outright, so without this a failed
+        # checkpoint on a deletion-heavy sweep leaves no retry obligation —
+        # a restart loads the stale checkpoint and resurrects the purged
+        # vectors as metadata-less ghosts that no later sweep re-purges.
+        self._purge_tombstones: List[str] = []
         self.load()
 
     # --------------------------------------------------------- persistence
@@ -64,16 +71,45 @@ class ProcessingLedger:
             return
         try:
             raw = json.loads(self.state_path.read_text())
-            self.states = {k: DocumentState(**v) for k, v in raw.items()}
-        except (json.JSONDecodeError, TypeError):
+            if isinstance(raw, dict) and raw.get("__format__") == 2:
+                self.states = {k: DocumentState(**v)
+                               for k, v in raw["states"].items()}
+                self._purge_tombstones = [str(d) for d in
+                                          raw.get("purge_tombstones", [])]
+            else:  # legacy format: flat {path: state}
+                self.states = {k: DocumentState(**v) for k, v in raw.items()}
+                self._purge_tombstones = []
+        except (json.JSONDecodeError, TypeError, KeyError):
             self.states = {}
+            self._purge_tombstones = []
 
     def save(self) -> None:
         with self._lock:
             tmp = self.state_path.with_suffix(".tmp")
-            tmp.write_text(json.dumps(
-                {k: dataclasses.asdict(v) for k, v in self.states.items()}, indent=2))
+            tmp.write_text(json.dumps({
+                "__format__": 2,
+                "states": {k: dataclasses.asdict(v) for k, v in self.states.items()},
+                "purge_tombstones": list(self._purge_tombstones),
+            }, indent=2))
             tmp.replace(self.state_path)
+
+    # ----------------------------------------------------- purge tombstones
+
+    def add_purge_tombstone(self, doc_id: str) -> None:
+        """Record that doc_id's vectors were purged in memory but the purge
+        is not yet durable (no index checkpoint has succeeded since)."""
+        with self._lock:
+            if doc_id not in self._purge_tombstones:
+                self._purge_tombstones.append(doc_id)
+
+    def purge_tombstones(self) -> List[str]:
+        with self._lock:
+            return list(self._purge_tombstones)
+
+    def clear_purge_tombstones(self) -> None:
+        """Call after a SUCCESSFUL index checkpoint: the purges are durable."""
+        with self._lock:
+            self._purge_tombstones.clear()
 
     # -------------------------------------------------------------- change
 

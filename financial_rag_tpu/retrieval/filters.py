@@ -100,15 +100,22 @@ def build_filter(filters: Optional[dict], now: Optional[float] = None) -> Result
         if tr_type in _RELATIVE_WINDOWS_S:
             f.min_ts = now - _RELATIVE_WINDOWS_S[tr_type]
         elif tr_type == "custom":
-            sd, ed = _parse_ts(tr.get("startDate")), _parse_ts(tr.get("endDate"))
+            sd_raw, ed_raw = tr.get("startDate"), tr.get("endDate")
+            sd, ed = _parse_ts(sd_raw), _parse_ts(ed_raw)
+            # a date-only bound ("2026-08-17") parses as MIDNIGHT at the
+            # start of that day; whichever value ends up as the UPPER bound
+            # must cover the whole day inclusive (start=end=today must match
+            # today's documents). Decide date-only-ness per PARSED VALUE
+            # before the swap, so a reversed range (startDate later than
+            # endDate) extends the bound that actually becomes the upper one
+            # — keying off the raw endDate string after the swap extended
+            # the wrong side.
+            sd_dateonly = isinstance(sd_raw, str) and len(sd_raw.strip()) == 10
+            ed_dateonly = isinstance(ed_raw, str) and len(ed_raw.strip()) == 10
             if sd and ed and sd > ed:
                 sd, ed = ed, sd
-            # a date-only endDate ("2026-08-17") parses as MIDNIGHT at the
-            # start of that day — the user means the whole day inclusive
-            # (start=end=today must match today's documents), so extend to
-            # the end of the day
-            ed_raw = tr.get("endDate")
-            if ed is not None and isinstance(ed_raw, str) and len(ed_raw.strip()) == 10:
+                sd_dateonly, ed_dateonly = ed_dateonly, sd_dateonly
+            if ed is not None and ed_dateonly:
                 ed += 86400 - 1
             f.min_ts = sd
             f.max_ts = ed or (now if sd else None)

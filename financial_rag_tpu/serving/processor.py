@@ -93,9 +93,22 @@ class DocumentProcessor:
             paths = self.ledger.scan(self.source_dir, exts=SOURCE_EXTS)
             # purge documents whose sources were deleted
             purged = 0
+            # re-purge tombstones from a previous sweep whose index
+            # checkpoint FAILED (or a restart onto a stale checkpoint):
+            # remove_missing already dropped their ledger entries, so this
+            # list is the only remaining obligation — without it the stale
+            # checkpoint resurrects the purged vectors as metadata-less
+            # ghosts. remove_document is idempotent; counting them as purged
+            # forces a fresh checkpoint attempt below.
+            for doc_id in self.ledger.purge_tombstones():
+                log.info("re-purging %s (purge not yet checkpointed)", doc_id)
+                self.pipeline.remove_document(doc_id)
+                purged += 1
             for gone in self.ledger.remove_missing(paths):
                 doc_id = Path(gone).stem
                 log.info("source removed, purging document %s", doc_id)
+                # tombstone BEFORE the purge: a crash between them replays
+                self.ledger.add_purge_tombstone(doc_id)
                 self.pipeline.remove_document(doc_id)
                 purged += 1
 
@@ -157,15 +170,22 @@ class DocumentProcessor:
             if (processed or purged) and self.on_sweep_complete is not None:
                 try:
                     self.on_sweep_complete()
+                    # the checkpoint captured the purged state: the
+                    # tombstones' retry obligation is discharged
+                    self.ledger.clear_purge_tombstones()
                 except Exception as e:  # noqa: BLE001 — must not kill the sweep
                     log.exception("on_sweep_complete failed")
                     # a FAILED checkpoint (not just a crash) must not let
                     # the ledger durably claim these documents are
                     # embedded — clear the flag so the next sweep retries
-                    # (idempotent re-ingest makes that safe)
+                    # (idempotent re-ingest makes that safe). Purge
+                    # tombstones stay: the next sweep re-purges.
                     for p in processed:
                         self.ledger.mark(p, embedded=False,
                                          error=f"index persistence failed: {e}")
+            elif self.on_sweep_complete is None:
+                # no checkpoint layer: nothing stale to resurrect from
+                self.ledger.clear_purge_tombstones()
             self.ledger.save()
             return {"processed": processed, "skipped": skipped, "failed": failed}
         finally:

@@ -33,6 +33,10 @@ class ChildMetaStore:
         # re-ingest could cache the PRE-commit row forever (the mirror has
         # no TTL).
         self._gen = 0
+        # gen bumps are read-modify-write; two concurrent writers (re-ingest
+        # purge racing an upsert) could otherwise lose an increment and make
+        # the generation look stable across a write
+        self._gen_lock = threading.Lock()
         with self._conn() as c:
             c.execute(
                 """CREATE TABLE IF NOT EXISTS children (
@@ -66,7 +70,7 @@ class ChildMetaStore:
              ch["snippet"], ch.get("context"), ch.get("source_path"), ch.get("source_mtime"))
             for ch in children
         ]
-        self._gen += 1   # entering a write: invalidate in-flight reads
+        self._bump_gen()   # entering a write: invalidate in-flight reads
         for r in rows:  # keep the memory mirror coherent with overwrites
             self._mem.pop(r[0], None)
         with self._conn() as c:
@@ -83,13 +87,17 @@ class ChildMetaStore:
                      source_mtime=excluded.source_mtime""",
                 rows,
             )
-        self._gen += 1   # commit landed: readers may mirror fresh rows again
+        self._bump_gen()   # commit landed: readers may mirror fresh rows again
         # re-pop: a racing reader may have mirrored the OLD row between the
         # first pop and the commit; after this pop any repopulation SELECTs
         # post-commit data
         for r in rows:
             self._mem.pop(r[0], None)
         return len(rows)
+
+    def _bump_gen(self) -> None:
+        with self._gen_lock:
+            self._gen += 1
 
     def get_children(self, child_ids: Sequence[int]) -> Dict[int, dict]:
         if not child_ids:
@@ -137,10 +145,19 @@ class ChildMetaStore:
         return [r[0] for r in cur.fetchall()]
 
     def delete_document(self, document_id: str) -> int:
-        self._mem.clear()  # coarse, correct: deletions are rare admin ops
+        # same gen discipline as upsert_children: ingest_finish purges old
+        # children on EVERY re-ingest / blue-green replace, so this runs on
+        # the serving-churn hot path. Clearing the mirror before the DELETE
+        # commits without bumping _gen would let a racing get_children
+        # repopulate the TTL-less mirror with pre-delete rows — forever.
+        self._bump_gen()   # entering a write: invalidate in-flight reads
+        self._mem.clear()
         with self._conn() as c:
             cur = c.execute("DELETE FROM children WHERE document_id=?", (document_id,))
-            return cur.rowcount
+            n = cur.rowcount
+        self._bump_gen()   # commit landed: readers may mirror fresh rows again
+        self._mem.clear()  # drop anything a racing reader mirrored pre-commit
+        return n
 
     def count(self) -> int:
         return self._conn().execute("SELECT COUNT(*) FROM children").fetchone()[0]

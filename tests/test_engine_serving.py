@@ -350,6 +350,33 @@ class TestLedger:
         assert gone == [str(f)]
         assert ledger.summary()["total"] == 0
 
+    def test_loads_legacy_flat_format(self, tmp_path):
+        """Pre-tombstone ledgers were a flat {path: state} JSON; they must
+        load unchanged (states intact, no tombstones)."""
+        import dataclasses
+
+        from financial_rag_tpu.ingest.ledger import DocumentState
+
+        legacy = {"/x/a.pdf": dataclasses.asdict(
+            DocumentState(path="/x/a.pdf", size=3, mtime=1.0, sha256="s",
+                          extracted=True, chunked=True, embedded=True))}
+        p = tmp_path / "state.json"
+        p.write_text(json.dumps(legacy))
+        ledger = ProcessingLedger(p)
+        assert ledger.states["/x/a.pdf"].embedded
+        assert ledger.purge_tombstones() == []
+
+    def test_purge_tombstones_persist(self, tmp_path):
+        ledger = ProcessingLedger(tmp_path / "state.json")
+        ledger.add_purge_tombstone("doc9")
+        ledger.add_purge_tombstone("doc9")   # idempotent
+        ledger.save()
+        ledger2 = ProcessingLedger(tmp_path / "state.json")
+        assert ledger2.purge_tombstones() == ["doc9"]
+        ledger2.clear_purge_tombstones()
+        ledger2.save()
+        assert ProcessingLedger(tmp_path / "state.json").purge_tombstones() == []
+
 
 class TestProcessor:
     def test_full_sweep_and_resume(self, stack):
@@ -408,6 +435,65 @@ class TestProcessor:
         texts = " ".join(c["text"] for c in res["top_children_chunks"])
         assert "77,000" in texts
         assert "42,800" not in texts, "superseded content still indexed"
+
+
+    def test_failed_checkpoint_keeps_purge_obligation_for_deleted_sources(self, tmp_path):
+        """ADVICE r3: remove_missing drops the ledger entry outright, so a
+        FAILED index checkpoint on a deletion-heavy sweep used to leave no
+        retry obligation — a restart onto the stale checkpoint resurrected
+        the purged vectors as metadata-less ghosts forever. The purge
+        tombstone must survive the failure and drive a re-purge + fresh
+        checkpoint on the next sweep."""
+        src = tmp_path / "src"
+        src.mkdir()
+        f = src / "doomed.txt"
+        f.write_text("content")
+        ledger = ProcessingLedger(tmp_path / "state.json")
+        ledger.refresh_entry(str(f))
+        ledger.save()
+
+        class FakePipe:
+            def __init__(self):
+                self.removed = []
+
+            def remove_document(self, doc_id):
+                self.removed.append(doc_id)
+
+        failing = {"on": True}
+        checkpoints = {"ok": 0}
+
+        def checkpoint():
+            if failing["on"]:
+                raise RuntimeError("disk full")
+            checkpoints["ok"] += 1
+
+        pipe = FakePipe()
+        proc = DocumentProcessor(pipe, ledger, source_dir=src,
+                                 extracted_dir=tmp_path / "ex",
+                                 on_sweep_complete=checkpoint)
+        f.unlink()                       # source deleted
+        proc.process_all()               # purge runs, checkpoint FAILS
+        assert pipe.removed == ["doomed"]
+        # the obligation is durable (fresh process would see it)
+        assert ProcessingLedger(tmp_path / "state.json").purge_tombstones() \
+            == ["doomed"]
+
+        # "restart": fresh processor/pipeline over the persisted ledger —
+        # the sweep re-purges the ghost and a successful checkpoint
+        # discharges the obligation
+        failing["on"] = False
+        ledger2 = ProcessingLedger(tmp_path / "state.json")
+        pipe2 = FakePipe()
+        proc2 = DocumentProcessor(pipe2, ledger2, source_dir=src,
+                                  extracted_dir=tmp_path / "ex",
+                                  on_sweep_complete=checkpoint)
+        proc2.process_all()
+        assert pipe2.removed == ["doomed"]
+        assert checkpoints["ok"] == 1
+        assert ProcessingLedger(tmp_path / "state.json").purge_tombstones() == []
+        # ...and a further sweep does nothing
+        proc2.process_all()
+        assert pipe2.removed == ["doomed"]
 
 
 class TestActiveGauge:

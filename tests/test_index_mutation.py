@@ -253,6 +253,45 @@ def test_ivf_materialize_after_slot_reuse_is_consistent(rng):
             assert abs(s - true_cos) < 2e-2, (s, true_cos)
 
 
+def test_ivf_materialize_during_in_progress_mutation_blocks_then_retries(rng):
+    """ADVICE r3 (medium): mutators rewrite the host _ids map in place under
+    the index lock and bump _mut only as their LAST step. The optimistic
+    materializer's old lock-free `_mut == m0` check could therefore accept a
+    resolve that read the half-mutated map (scores misattributed to another
+    document's ids). The fix re-checks the epoch UNDER the lock: an
+    in-progress writer must finish (bump visible) before the optimistic
+    result is accepted."""
+    import threading
+
+    idx = _make("ivf")
+    x = _unit(rng, 96)
+    idx.upsert(np.arange(1, 97, dtype=np.int64), x)
+    probe = x[10:11]                  # exact vector of id 11
+    idx.search(probe, 4)              # prime compile
+
+    m = idx.search_begin(probe, 4)    # dispatched against the clean state
+    loc = idx._loc_of[11]
+    results = {}
+    t = threading.Thread(target=lambda: results.setdefault("out", m()))
+    with idx._lock:
+        # writer mid-mutation: the hit's slot now maps to a foreign id,
+        # epoch bump still pending — exactly the broken-seqlock window
+        idx._ids[loc[0], loc[1]] = 777
+        t.start()
+        t.join(timeout=2.0)
+        assert t.is_alive(), \
+            "materialize accepted a resolve during an in-progress mutation"
+        # writer finishes: restore the map and publish the epoch
+        idx._ids[loc[0], loc[1]] = 11
+        idx._mut += 1
+    t.join(timeout=30.0)
+    assert not t.is_alive()
+    got_ids, got_scores = results["out"]
+    assert got_ids[0, 0] == 11, got_ids[0]          # never the torn id 777
+    assert 777 not in got_ids[0].tolist()
+    assert got_scores[0, 0] == pytest.approx(1.0, abs=1e-3)
+
+
 def test_flat_materialize_after_compact_is_consistent(rng):
     """compact() remaps every slot; a deferred materializer must re-run
     rather than resolve old slots through the new map."""

@@ -147,6 +147,33 @@ class TestFilters:
                                          "endDate": "2024-06-01T06:00:00"}})
         assert not passes_filter(f2, None, noon)
 
+    def test_custom_range_reversed_dates_extend_the_upper_bound(self):
+        """ADVICE r3: a REVERSED range (startDate later than endDate) must
+        extend whichever date-only value becomes the UPPER bound after the
+        swap — keying off the raw endDate string extended the wrong side
+        (and a date-only startDate that became the upper bound was never
+        extended, silently dropping the whole end day)."""
+        from datetime import datetime
+
+        # reversed: the date-only startDate is the real upper bound
+        f = build_filter({"timeRange": {"type": "custom",
+                                        "startDate": "2024-06-10",
+                                        "endDate": "2024-06-01"}})
+        end_of_last_day = datetime.fromisoformat("2024-06-10T23:59:58").timestamp()
+        next_day = datetime.fromisoformat("2024-06-11T00:00:02").timestamp()
+        assert passes_filter(f, None, end_of_last_day)
+        assert not passes_filter(f, None, next_day)
+        # reversed with a TIMESTAMPED startDate as upper bound: stays exact
+        f2 = build_filter({"timeRange": {"type": "custom",
+                                         "startDate": "2024-06-10T06:00:00",
+                                         "endDate": "2024-06-01"}})
+        noon = datetime.fromisoformat("2024-06-10T12:00:00").timestamp()
+        assert not passes_filter(f2, None, noon)
+        # ...and the date-only endDate that became the LOWER bound is not
+        # extended past documents modified early that day
+        start_morning = datetime.fromisoformat("2024-06-01T00:30:00").timestamp()
+        assert passes_filter(f2, None, start_morning)
+
     def test_all_type_inactive(self):
         f = build_filter({"timeRange": {"type": "all"}})
         assert not f.active

@@ -328,3 +328,74 @@ class TestRoundThreePrimitives:
         assert g.value() == 1
         g.leave()
         assert g.value() == 0
+
+
+class TestChildMetaGenProtocol:
+    """The TTL-less memory mirror must never be repopulated with pre-commit
+    rows by a reader racing a write (the _gen protocol). delete_document is
+    on the serving-churn hot path now — ingest_finish purges old children on
+    every re-ingest and blue/green replace — so it must participate too."""
+
+    def _store(self, tmp_path):
+        from financial_rag_tpu.store import ChildMetaStore
+
+        cs = ChildMetaStore(tmp_path / "c.db")
+        cs.upsert_children([{"child_id": 1, "parent_id": 10, "document_id": "d",
+                             "snippet": "old"}])
+        return cs
+
+    def test_delete_document_bumps_gen_and_clears_mirror(self, tmp_path):
+        cs = self._store(tmp_path)
+        cs.get_children([1])                       # mirrors the row
+        assert 1 in cs._mem
+        g0 = cs._gen
+        cs.delete_document("d")
+        assert cs._gen == g0 + 2, "delete must bump _gen before AND after"
+        assert not cs._mem
+        assert cs.get_children([1]) == {}
+
+    def test_reader_racing_delete_cannot_poison_the_mirror(self, tmp_path):
+        """Simulate the exact window: a reader captured _gen before the
+        delete started; its SELECT may still see the pre-delete row, but
+        the gen mismatch must keep it OUT of the mirror."""
+        cs = self._store(tmp_path)
+        gen0 = cs._gen
+        cs.delete_document("d")                    # write completes mid-read
+        # reader logic (get_children's mirror condition) with its stale gen0
+        assert cs._gen != gen0
+        # end-to-end: a fresh read serves the DB truth, not a stale mirror
+        assert cs.get_children([1]) == {}
+        assert 1 not in cs._mem
+
+    def test_concurrent_delete_and_read_converge(self, tmp_path):
+        from financial_rag_tpu.store import ChildMetaStore
+
+        cs = ChildMetaStore(tmp_path / "c.db")
+        rows = [{"child_id": i, "parent_id": 1, "document_id": "d",
+                 "snippet": f"s{i}"} for i in range(1, 65)]
+        cs.upsert_children(rows)
+        errs = []
+
+        def reader():
+            try:
+                for _ in range(200):
+                    cs.get_children(list(range(1, 65)))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def deleter():
+            try:
+                cs.delete_document("d")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=reader) for _ in range(4)] + \
+             [threading.Thread(target=deleter)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        # after the dust settles: no resurrected rows via the mirror
+        assert cs.get_children(list(range(1, 65))) == {}
+        assert not cs._mem
