@@ -184,11 +184,23 @@ class Encoder:
 
         return materialize
 
-    def encode_begin_device(self, texts: Sequence[str], *, seqs=None):
+    def encode_begin_device(self, texts: Sequence[str], *, seqs=None,
+                            seq_bucket: Optional[int] = None,
+                            rows_bucket: Optional[int] = None):
         """Like encode_begin but the materializer returns a DEVICE [N, dim]
         array in input order (an on-device gather; nothing crosses the
-        host boundary). Feeds device-direct index upserts during ingest."""
-        pending = self._dispatch_batches(texts, seqs)
+        host boundary). Feeds device-direct index upserts during ingest.
+
+        ``seq_bucket`` / ``rows_bucket`` pin EVERY row to one sequence
+        bucket and the whole call to one batch shape: the serving wave
+        batcher (serving/batcher.py MultiIndexBatcher._chained_begin) pads
+        its text batch to a fixed row count, so pinning makes the entire
+        chained encode->sweep program a small, warmable set of static
+        shapes — length-mix-dependent batch splits would otherwise compile
+        a fresh gather/concat program per first-seen mix (a p95 stall
+        through a tunneled chip)."""
+        pending = self._dispatch_batches(texts, seqs, seq_bucket=seq_bucket,
+                                         rows_bucket=rows_bucket)
         if pending is None:
             return lambda: jnp.zeros((0, self.dim), jnp.float32)
 
@@ -205,9 +217,12 @@ class Encoder:
 
         return materialize_device
 
-    def _dispatch_batches(self, texts: Sequence[str], seqs=None):
+    def _dispatch_batches(self, texts: Sequence[str], seqs=None, *,
+                          seq_bucket: Optional[int] = None,
+                          rows_bucket: Optional[int] = None):
         """Tokenize + enqueue every device forward; returns a list of
-        (batch_idx, n_valid, device_emb) or None for an empty input."""
+        (batch_idx, n_valid, device_emb) or None for an empty input.
+        seq_bucket/rows_bucket pin the shapes (encode_begin_device)."""
         if not len(texts):
             return None
         if seqs is None:
@@ -216,7 +231,11 @@ class Encoder:
         all_ids, all_lens = seqs
 
         order = np.argsort(all_lens, kind="stable")
-        bucket_of = np.asarray([self._bucket(int(ln)) for ln in all_lens])
+        if seq_bucket is not None:
+            pin = min(int(seq_bucket), self.max_seq_len)
+            bucket_of = np.full(len(texts), pin)
+        else:
+            bucket_of = np.asarray([self._bucket(int(ln)) for ln in all_lens])
         pending = []
         lo = 0
         n_total = len(texts)
@@ -228,7 +247,10 @@ class Encoder:
             batch_idx = order[lo:hi]
             lo = hi
             n = len(batch_idx)
-            bsz = self._batch_bucket(n)
+            # a pinned row count must still divide a data-parallel mesh
+            pin_ok = (rows_bucket is not None and rows_bucket >= n
+                      and (self.mesh is None or rows_bucket % self.mesh.size == 0))
+            bsz = rows_bucket if pin_ok else self._batch_bucket(n)
             ids = np.full((bsz, seq_len), self.tokenizer.pad_id, np.int32)
             mask = np.zeros((bsz, seq_len), np.int32)
             ids[:n] = all_ids[batch_idx, :seq_len]

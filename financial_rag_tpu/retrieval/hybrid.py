@@ -136,13 +136,16 @@ class HybridRetriever:
         queries = normalize_query(self.llm, question)
 
         # ---- dense: batch the query variants per encoder, one sweep per index.
-        # Above the direct concurrency limit the per-model sweeps coalesce
-        # across REQUESTS (serving/batcher.py), which needs host vectors; at
-        # or below it the raw lane chains the encoder output into the sweeps
-        # on device (_dense_results_chained).
+        # Above the direct concurrency limit requests coalesce across the
+        # batcher (serving/batcher.py): preferably as device-CHAINED waves
+        # (texts in, one combined device_get out — search_texts), falling
+        # back to two-phase waves (host encode wave, then sweep wave) when
+        # an index/encoder can't chain; at or below the limit the raw lane
+        # chains per request (_dense_results_chained).
         use_batcher = (self.sweep_batcher is not None
                        and not self.sweep_batcher.bypass())
-        if use_batcher:
+        chained_wave = use_batcher and self.sweep_batcher.supports_chained_waves()
+        if use_batcher and not chained_wave:
             with time_block("hybrid.encode"):
                 per_model_vecs = self.dual_encoder.encode_all(queries, use_cache=True)
 
@@ -160,9 +163,14 @@ class HybridRetriever:
 
         if use_batcher:
             with time_block("hybrid.search"):
-                by_model = self.sweep_batcher.search_all(
-                    per_model_vecs, self.fusion_cfg.per_query_k)
-                results = [by_model[name] for name in per_model_vecs]
+                if chained_wave:
+                    by_model = self.sweep_batcher.search_texts(
+                        queries, self.fusion_cfg.per_query_k)
+                    results = [by_model[name] for name in self.dual_encoder.names]
+                else:
+                    by_model = self.sweep_batcher.search_all(
+                        per_model_vecs, self.fusion_cfg.per_query_k)
+                    results = [by_model[name] for name in per_model_vecs]
         else:
             results = self._dense_results_chained(queries)
         for ids, scores in results:

@@ -124,6 +124,7 @@ class Runtime:
             "baai": _build_encoder("baai", cfg.encoders.baai_path, "cls", cfg),
             "gte": _build_encoder("gte", cfg.encoders.gte_path, "mean", cfg),
         }
+        raw_encoders = dict(encoders)   # unwrapped: the chained wave lane
         serve_active = None
         if cfg.serving.microbatch:
             from financial_rag_tpu.serving.batcher import ActiveCount, BatchingEncoder
@@ -154,8 +155,9 @@ class Runtime:
                      n_wrapped, len(encoders))
         from financial_rag_tpu.utils.embed_cache import EmbeddingCache
 
+        embed_cache = EmbeddingCache(max_items=4096)
         dual = DualEncoder(encoders, fused_weights=cfg.encoders.fused_weights,
-                           cache=EmbeddingCache(max_items=4096))
+                           cache=embed_cache)
 
         # INDEX_SHARDS > 1 shards each collection over that many devices
         # (0 = single-device FlatIndex with persistence)
@@ -245,12 +247,19 @@ class Runtime:
         if cfg.serving.microbatch:
             from financial_rag_tpu.serving.batcher import MultiIndexBatcher
 
+            # chain_encoder: RAW encoders sharing the serving embedding
+            # cache — coalesced waves encode texts themselves and chain the
+            # device output into the sweeps (MultiIndexBatcher.search_texts);
+            # routing through the BatchingEncoder queue from inside a wave
+            # would nest batchers and re-pay the host round trip the wave
+            # exists to remove
             sweep_batcher = MultiIndexBatcher(
                 indexes, max_queries=cfg.serving.microbatch_max,
                 max_wait_ms=cfg.serving.microbatch_wait_ms,
                 inflight=cfg.serving.microbatch_inflight,
                 direct=cfg.serving.microbatch_direct,
-                active=serve_active)
+                active=serve_active,
+                chain_encoder=DualEncoder(raw_encoders, cache=embed_cache))
 
         parent_store = ParentStore(data_dir / cfg.store.parents_db_path)
         child_meta = ChildMetaStore(data_dir / "children_meta.db")

@@ -112,7 +112,8 @@ class ActiveCount:
 
 
 class _Slot:
-    __slots__ = ("event", "result", "error", "weight", "payload", "on_done")
+    __slots__ = ("event", "result", "error", "weight", "payload", "on_done",
+                 "claimed", "_claim_lock")
 
     def __init__(self, payload, weight: int, on_done=None) -> None:
         self.event = threading.Event()
@@ -121,6 +122,33 @@ class _Slot:
         self.weight = weight
         self.payload = payload
         self.on_done = on_done
+        # ownership arbitration between the dispatcher (which pops slots to
+        # run them) and the close/submit-side failure paths: only the party
+        # that wins the claim may decide the slot's fate. Without it,
+        # close() landing while a popped slot's fused call is in flight let
+        # submit_begin overwrite slot.error and wake the waiter with
+        # "closed" — dropping a healthy result.
+        self.claimed = False
+        self._claim_lock = threading.Lock()
+
+    def claim(self) -> bool:
+        """Dispatcher-side: take ownership of a popped slot. False if a
+        failure path already finished it (drop it from the batch)."""
+        with self._claim_lock:
+            if self.event.is_set():
+                return False
+            self.claimed = True
+            return True
+
+    def fail_if_unclaimed(self, err: Exception) -> bool:
+        """Failure-side: fail the slot unless the dispatcher owns it (its
+        in-flight fused call will deliver the real result)."""
+        with self._claim_lock:
+            if self.claimed or self.event.is_set():
+                return False
+            self.error = err
+            self.event.set()
+            return True
 
     def wait(self):
         self.event.wait()
@@ -254,15 +282,14 @@ class MicroBatcher:
             return _DirectSlot(thunk, on_done or (lambda: None))
         slot = _Slot(payload, max(weight, 1), on_done=on_done)
         self._q.put(slot)
-        if self._closed and not slot.event.is_set():
+        if self._closed:
             # submit raced close(): the worker and the close() drain may
             # BOTH already be done, leaving this slot unserviced forever —
-            # fail it here. (If the worker did pick it up, the result
-            # landed before event.set() and wait() returns it; failing an
-            # already-completed slot is a no-op because wait() checks the
-            # event first.)
-            slot.error = RuntimeError(f"MicroBatcher {self.name} is closed")
-            slot.event.set()
+            # fail it here. fail_if_unclaimed leaves the slot alone if the
+            # dispatcher already popped and claimed it (its in-flight fused
+            # call delivers the real result; failing here would drop it).
+            slot.fail_if_unclaimed(
+                RuntimeError(f"MicroBatcher {self.name} is closed"))
         return slot
 
     def _leave(self) -> None:
@@ -292,8 +319,7 @@ class MicroBatcher:
             except Empty:
                 break
             if slot is not None:
-                slot.error = err
-                slot.event.set()
+                slot.fail_if_unclaimed(err)
         if self._pool is not None:
             self._pool.shutdown(wait=True)
 
@@ -306,6 +332,8 @@ class MicroBatcher:
             carry = None
             if first is None:
                 return
+            if not first.claim():  # a failure path finished it already
+                continue
             if self.fn_begin is not None:
                 # claim the in-flight slot BEFORE gathering: while all
                 # finisher slots are busy nothing can dispatch anyway, so
@@ -328,6 +356,8 @@ class MicroBatcher:
                 if nxt is None:
                     stop = True
                     break
+                if not nxt.claim():  # a failure path finished it already
+                    continue
                 if weight + nxt.weight > self.max_items:
                     # never overshoot the batch's ONE static padded shape —
                     # the overflow submission seeds the next batch
@@ -535,7 +565,7 @@ class MultiIndexBatcher:
     def __init__(self, indexes: Dict[str, Any], *, max_queries: int = 64,
                  max_wait_ms: float = 0.0, inflight: Optional[int] = None,
                  direct: int = 0, active: Optional[ActiveCount] = None,
-                 name: str = "sweep") -> None:
+                 name: str = "sweep", chain_encoder=None) -> None:
         self.indexes = indexes
         self.max_queries = max_queries
         self.max_wait_ms = max_wait_ms
@@ -543,7 +573,15 @@ class MultiIndexBatcher:
         self.direct = direct
         self.active = active
         self.name = name
+        # RAW DualEncoder (unwrapped members sharing the serving embedding
+        # cache) for the device-chained wave lane (search_texts): the wave
+        # encodes texts itself, so going through the BatchingEncoder queue
+        # here would nest one batcher inside another and serialize waves
+        # behind the encode batcher's RPC
+        self.chain_encoder = chain_encoder
+        self._chain_ok: Optional[bool] = None
         self._batchers: Dict[int, MicroBatcher] = {}
+        self._chained: Dict[int, MicroBatcher] = {}
         self._lock = threading.Lock()
 
     def _pad_rows(self, cat: np.ndarray) -> np.ndarray:
@@ -564,6 +602,14 @@ class MultiIndexBatcher:
             thunk = mb.fn_begin([{name: np.zeros((rows, dim), np.float32)
                                   for name in self.indexes}])
             thunk()
+        if self.supports_chained_waves():
+            # compile the pinned-shape chained programs for the two common
+            # query sequence buckets (64 and 128 tokens): encode forward +
+            # on-device gather + sweep, per model. Rarer buckets (256/512)
+            # compile on first sight and persist in the compilation cache.
+            for text in ("what is the total amount due",
+                         "what is the total amount due " * 16):
+                self._chained_begin([[text]], top_k)()
 
     def _batcher_for(self, top_k: int) -> MicroBatcher:
         mb = self._batchers.get(top_k)
@@ -603,6 +649,105 @@ class MultiIndexBatcher:
                     self._batchers[top_k] = mb
         return mb
 
+    # ---------------------------------------------------- chained wave lane
+
+    def supports_chained_waves(self) -> bool:
+        """True when a coalesced wave can run the WHOLE dense query path —
+        tokenize -> per-model encode -> per-model index sweep — as one
+        device-chained program with a single combined device_get (VERDICT
+        r3 #2: the two-phase waves materialized the fused encode on host
+        before submitting the fused sweep, ~3 RPCs per wave). Requires raw
+        device-out encoders sharing one tokenizer and indexes that accept
+        jax.Array queries."""
+        if self._chain_ok is None:
+            de = self.chain_encoder
+            self._chain_ok = bool(
+                de is not None
+                and all(getattr(type(i), "accepts_device_queries", False)
+                        for i in self.indexes.values())
+                and all(getattr(type(e), "supports_device_out", False)
+                        for e in de.encoders.values())
+                and de._shared_tokenizer() is not None)
+        return self._chain_ok
+
+    def search_texts(self, queries: List[str], top_k: int
+                     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Blocking chained wave: coalesces concurrent requests' QUERY TEXTS
+        (not vectors) and returns ``{model: (ids [B,k], scores [B,k])}`` per
+        request. Requires supports_chained_waves()."""
+        b = len(queries)
+        return self._chained_for(top_k).submit(list(queries), weight=b)
+
+    def _wave_seq_bucket(self, lens) -> int:
+        """One sequence bucket for the whole wave (the pinned-shape
+        contract of Encoder.encode_begin_device): smallest encoder bucket
+        covering the wave's longest text, so the compiled shape set stays
+        {rows} x {64, 128, ...} — warmable, never truncating."""
+        from financial_rag_tpu.models.encoder import SEQ_BUCKETS
+
+        longest = int(max(lens)) if len(lens) else 1
+        for b in SEQ_BUCKETS:
+            if longest <= b:
+                return b
+        return SEQ_BUCKETS[-1]
+
+    def _chained_begin(self, groups: List[List[str]], top_k: int):
+        """Dispatch one fused wave: pad texts to the static row bucket,
+        tokenize once, pin-shape encode per model (device-out), feed the
+        device embeddings straight into every index's sweep, and return a
+        thunk that materializes sweep results AND the query vectors (cache
+        fill) in ONE combined device_get."""
+        from financial_rag_tpu.index.pending import collect
+
+        de = self.chain_encoder
+        texts = [t for g in groups for t in g]
+        bucket = self.max_queries
+        while bucket < len(texts):   # a gather can overshoot by one submission
+            bucket *= 2
+        padded = texts + [""] * (bucket - len(texts))
+        tok, max_len = de._shared_tokenizer()
+        seqs = tok.encode_many_packed(padded, max_len=max_len)
+        seq_pin = self._wave_seq_bucket(seqs[1])
+
+        names = list(self.indexes.keys())
+        dev = {name: de.encoders[name].encode_begin_device(
+                   padded, seqs=seqs, seq_bucket=seq_pin, rows_bucket=bucket)()
+               for name in names}
+        pendings = [self.indexes[name].search_begin(dev[name], top_k)
+                    for name in names]
+
+        def thunk():
+            if de.cache is not None:
+                results, vec_host = collect(pendings,
+                                            extra=[dev[n] for n in names])
+                for name, hv in zip(names, vec_host):
+                    arr = np.asarray(hv, np.float32)
+                    for i, t in enumerate(texts):   # filler rows skipped
+                        de.cache.put(name, t, arr[i])
+            else:
+                results = collect(pendings)
+            per_model = dict(zip(names, results))
+            return split_by_groups(
+                groups,
+                lambda lo, hi: {m: (ids[lo:hi], sc[lo:hi])
+                                for m, (ids, sc) in per_model.items()})
+
+        return thunk
+
+    def _chained_for(self, top_k: int) -> MicroBatcher:
+        mb = self._chained.get(top_k)
+        if mb is None:
+            with self._lock:
+                mb = self._chained.get(top_k)
+                if mb is None:
+                    mb = MicroBatcher(
+                        fn_begin=lambda groups: self._chained_begin(groups, top_k),
+                        max_items=self.max_queries,
+                        max_wait_ms=self.max_wait_ms, inflight=self.inflight,
+                        name=f"{self.name}-chained@k{top_k}")
+                    self._chained[top_k] = mb
+        return mb
+
     def bypass(self) -> bool:
         """True while system concurrency is at or below the direct limit:
         the caller should take its RAW per-request path — the literal
@@ -622,11 +767,14 @@ class MultiIndexBatcher:
         return self._batcher_for(top_k).submit(per_model_vecs, weight=b)
 
     def stats(self) -> dict:
-        return {
+        out = {
             f"k{k}": {"calls": mb.calls, "submitted": mb.submitted,
                       "direct": mb.direct_calls}
             for k, mb in self._batchers.items()
         }
+        for k, mb in self._chained.items():
+            out[f"chained@k{k}"] = {"calls": mb.calls, "submitted": mb.submitted}
+        return out
 
 
 class BatchingIndex(_Delegate):

@@ -5,6 +5,7 @@ The reference serves each request with its own batch-1 device calls
 is the TPU-side replacement for that pattern."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -78,6 +79,89 @@ class TestMicroBatcher:
         mb.close()
         with pytest.raises(RuntimeError):
             mb.submit(1)
+
+    def test_close_race_cannot_fail_a_claimed_slot(self):
+        """ADVICE r3: close() landing while a popped slot's fused call is in
+        flight must not let the submit-side closed check overwrite the slot
+        with 'closed' — the dispatcher owns it (claim protocol) and its
+        result must reach the waiter."""
+        gate = threading.Event()
+
+        def fn_begin(payloads):
+            def thunk():
+                assert gate.wait(10)
+                return [p * 2 for p in payloads]
+            return thunk
+
+        mb = MicroBatcher(fn_begin=fn_begin, name="claim-test")
+        slot = mb.submit_begin(21)
+        for _ in range(500):          # until the worker pops + claims it
+            if slot.claimed:
+                break
+            time.sleep(0.005)
+        assert slot.claimed
+        # the exact racing interleaving: _closed became True after the put,
+        # so submit_begin's post-put check fires — it must skip this slot
+        mb._closed = True
+        assert not slot.fail_if_unclaimed(RuntimeError("closed"))
+        assert slot.error is None and not slot.event.is_set()
+        gate.set()
+        assert slot.wait() == 42      # the dispatched result, not 'closed'
+        mb._closed = False
+        mb.close()
+
+    def test_slot_claim_protocol_primitives(self):
+        from financial_rag_tpu.serving.batcher import _Slot
+
+        err = RuntimeError("closed")
+        s = _Slot("p", 1)
+        assert s.fail_if_unclaimed(err)       # unclaimed -> failed
+        assert s.event.is_set()
+        assert not s.claim()                  # dispatcher must then drop it
+        with pytest.raises(RuntimeError, match="closed"):
+            s.wait()
+        s2 = _Slot("p", 1)
+        assert s2.claim()
+        assert not s2.fail_if_unclaimed(err)  # owned by the dispatcher
+        assert s2.error is None and not s2.event.is_set()
+
+    def test_worker_skips_slots_a_failure_path_already_finished(self):
+        """A queued slot failed by close()'s drain (or the submit-side
+        check) must be dropped from the gather — running it would deliver a
+        result to a waiter that already raised."""
+        ran = threading.Event()
+        gate = threading.Event()
+        seen = []
+
+        def fn_begin(payloads):
+            seen.append(list(payloads))
+            def thunk():
+                ran.set()
+                assert gate.wait(10)
+                return [p for p in payloads]
+            return thunk
+
+        # inflight=1: the worker dispatches s1, pops+claims s2, then blocks
+        # on the in-flight semaphore; s3 pools in the queue unclaimed
+        mb = MicroBatcher(fn_begin=fn_begin, inflight=1, finishers=1,
+                          name="skip-test")
+        s1 = mb.submit_begin("a")
+        assert ran.wait(10)
+        s2 = mb.submit_begin("b")
+        for _ in range(500):
+            if s2.claimed:
+                break
+            time.sleep(0.005)
+        assert s2.claimed
+        s3 = mb.submit_begin("c")     # queued, unclaimed
+        assert s3.fail_if_unclaimed(RuntimeError("closed"))
+        gate.set()                    # worker unblocks, gathers s3, skips it
+        assert s1.wait() == "a"
+        assert s2.wait() == "b"
+        with pytest.raises(RuntimeError, match="closed"):
+            s3.wait()
+        mb.close()
+        assert ["c"] not in seen and ["b", "c"] not in seen
 
 
 class _CountingEncoder(HashingEncoder):

@@ -156,3 +156,124 @@ class TestCollectExtra:
         assert results[0][0][0, 0] == 1
         np.testing.assert_array_equal(np.asarray(extra_host[0]),
                                       np.arange(4.0, dtype=np.float32))
+
+
+class TestChainedWaveLane:
+    """Device-chained COALESCED waves (VERDICT r3 #2): above the direct
+    limit, concurrent requests' query texts coalesce into one wave that
+    tokenizes once, runs one pinned-shape encode per model, feeds the
+    device embeddings straight into every index sweep, and materializes
+    everything (results + cache-fill vectors) in ONE combined device_get."""
+
+    def _batcher(self, enc, indexes, **kw):
+        from financial_rag_tpu.serving.batcher import MultiIndexBatcher
+
+        return MultiIndexBatcher(indexes, max_queries=16,
+                                 chain_encoder=enc, **kw)
+
+    def test_supports_chained_waves_gating(self, stack):
+        enc, indexes, _ = stack
+        assert self._batcher(enc, indexes).supports_chained_waves()
+        # no chain encoder -> no
+        from financial_rag_tpu.serving.batcher import MultiIndexBatcher
+        assert not MultiIndexBatcher(indexes).supports_chained_waves()
+        # host-only index -> no
+        host_idx = {n: _HostOnlyIndex(i) for n, i in indexes.items()}
+        assert not self._batcher(enc, host_idx).supports_chained_waves()
+        # host-side encoder -> no
+        from financial_rag_tpu.models.hashing import HashingEncoder
+        hash_enc = DualEncoder({"baai": HashingEncoder(dim=128, salt=1),
+                                "gte": HashingEncoder(dim=128, salt=2)})
+        assert not self._batcher(hash_enc, indexes).supports_chained_waves()
+
+    def test_concurrent_waves_match_per_request_search(self, stack):
+        import threading
+
+        enc, indexes, _ = stack
+        mib = self._batcher(DualEncoder(dict(enc.encoders)), indexes)
+        queries = [["what is the monthly rent amount"],
+                   ["GST amount charged", "lock-in period months"],
+                   ["lessor name on the lease"],
+                   ["tax invoice total"]]
+        barrier = threading.Barrier(len(queries))
+        results = [None] * len(queries)
+        errors = []
+
+        def run(i):
+            try:
+                barrier.wait()
+                results[i] = mib.search_texts(queries[i], 4)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(len(queries))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors
+        st = mib.stats()
+        assert st["chained@k4"]["submitted"] == 4
+
+        fresh = DualEncoder(dict(enc.encoders))
+        for i, qs in enumerate(queries):
+            vecs = fresh.encode_all(qs)
+            for name, idx in indexes.items():
+                want_ids, want_sc = idx.search(vecs[name], 4)
+                got_ids, got_sc = results[i][name]
+                np.testing.assert_array_equal(got_ids, want_ids)
+                np.testing.assert_allclose(got_sc, want_sc, rtol=1e-4, atol=1e-5)
+
+    def test_wave_fills_the_embedding_cache(self, stack):
+        from financial_rag_tpu.utils.embed_cache import EmbeddingCache
+
+        enc, indexes, _ = stack
+        chain = DualEncoder(dict(enc.encoders), cache=EmbeddingCache(max_items=64))
+        mib = self._batcher(chain, indexes)
+        q = "rent for the second year"
+        assert chain.cached_all([q]) is None
+        mib.search_texts([q], 4)
+        cached = chain.cached_all([q])
+        assert cached is not None
+        fresh = DualEncoder(dict(enc.encoders)).encode_all([q])
+        for name in chain.names:
+            np.testing.assert_allclose(cached[name], fresh[name],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_hybrid_routes_through_the_chained_wave(self, stack):
+        enc, indexes, child_meta = stack
+        mib = self._batcher(DualEncoder(dict(enc.encoders)), indexes)
+        h = HybridRetriever(enc, indexes, child_meta, sweep_batcher=mib)
+        baseline = HybridRetriever(enc, indexes, child_meta)
+        q = "What is the GST amount on the invoice?"
+        a, _, _ = h.retrieve_children(q)
+        b, _, _ = baseline.retrieve_children(q)
+        assert [c["child_id"] for c in a] == [c["child_id"] for c in b]
+        np.testing.assert_allclose([c["retrieval_score"] for c in a],
+                                   [c["retrieval_score"] for c in b], rtol=1e-5)
+        st = mib.stats()
+        chained = [v for k, v in st.items() if k.startswith("chained@")]
+        assert chained and chained[0]["calls"] >= 1
+        assert not any(v["calls"] for k, v in st.items()
+                       if not k.startswith("chained@"))
+
+    def test_warmup_compiles_chained_shapes(self, stack):
+        enc, indexes, _ = stack
+        mib = self._batcher(DualEncoder(dict(enc.encoders)), indexes)
+        mib.warmup(4)   # must not raise; covers vector + chained programs
+        # the warmed path serves correctly afterwards
+        got = mib.search_texts(["monthly rent"], 4)
+        assert set(got) == set(indexes) and got["baai"][0].shape == (1, 4)
+
+    def test_long_query_wave_picks_a_covering_seq_bucket(self, stack):
+        """A wave containing one long query must not truncate it: the
+        pinned bucket covers the wave's longest text."""
+        enc, indexes, _ = stack
+        mib = self._batcher(DualEncoder(dict(enc.encoders)), indexes)
+        long_q = "the total amount due including all taxes and fees " * 12
+        got = mib.search_texts([long_q], 4)
+        fresh = DualEncoder(dict(enc.encoders)).encode_all([long_q])
+        for name, idx in indexes.items():
+            want_ids, want_sc = idx.search(fresh[name], 4)
+            np.testing.assert_array_equal(got[name][0], want_ids)
+            np.testing.assert_allclose(got[name][1], want_sc, rtol=1e-4, atol=1e-5)
