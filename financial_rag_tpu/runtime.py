@@ -319,12 +319,24 @@ class Runtime:
         if target <= 0:
             return {}
         reports: Dict[str, dict] = {}
+        cache = self.dual_encoder.cache
         for name, idx in self.indexes.items():
             if hasattr(idx, "tune_nprobe") and idx.count() and idx.is_trained:
+                # in-distribution tuning: recorded REAL query vectors from
+                # the serving embedding cache when enough have been seen
+                # (>= 32 so the per-sample split stays meaningful);
+                # perturbed stored vectors otherwise (VERDICT r3 #6)
+                recorded = (cache.recent_queries(name) if cache is not None
+                            else None)
+                if recorded is not None and len(recorded) < 32:
+                    recorded = None
                 reports[name] = idx.tune_nprobe(
-                    target_recall=target,
+                    target_recall=target, queries=recorded,
                     sample=self.config.index.ivf_autotune_sample)
-                log.info("index %s: tuned nprobe=%d", name, reports[name]["nprobe"])
+                reports[name]["query_source"] = (
+                    "recorded" if recorded is not None else "perturbed-sample")
+                log.info("index %s: tuned nprobe=%d (%s queries)", name,
+                         reports[name]["nprobe"], reports[name]["query_source"])
         return reports
 
     def save_indexes(self, data_dir: str | Path = ".") -> None:

@@ -26,6 +26,14 @@ class EmbeddingCache:
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
+        # per-model ring of recently-PUT query vectors: every put() came
+        # from a real serving query (the cache is query-side only), so this
+        # is a free in-distribution sample for IVF nprobe auto-tuning
+        # (index/tuning.py tune_nprobe(queries=...); Runtime.tune_indexes
+        # wires it). Keyed rings so the per-model indexes tune on their own
+        # model's vectors.
+        self.recent_cap = 512
+        self._recent: dict[str, OrderedDict[str, np.ndarray]] = {}
 
     @staticmethod
     def _key(model: str, text: str) -> str:
@@ -60,6 +68,11 @@ class EmbeddingCache:
         vec = np.asarray(vec, np.float32)
         with self._lock:
             self._put_mem(key, vec)
+            ring = self._recent.setdefault(model, OrderedDict())
+            ring[key] = vec          # dedup repeats of the same query text
+            ring.move_to_end(key)
+            while len(ring) > self.recent_cap:
+                ring.popitem(last=False)
         if self.disk_dir:
             try:
                 np.save(self.disk_dir / f"{key}.npy", vec)
@@ -71,6 +84,16 @@ class EmbeddingCache:
         self._mem.move_to_end(key)
         while len(self._mem) > self.max_items:
             self._mem.popitem(last=False)
+
+    def recent_queries(self, model: str, n: int = 256) -> Optional[np.ndarray]:
+        """Up to the last ``n`` distinct query vectors put() for ``model``
+        ([m, D] float32, newest last), or None if none were recorded."""
+        with self._lock:
+            ring = self._recent.get(model)
+            if not ring:
+                return None
+            vecs = list(ring.values())[-n:]
+        return np.stack(vecs).astype(np.float32)
 
     def stats(self) -> dict:
         total = self.hits + self.misses

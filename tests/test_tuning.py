@@ -93,6 +93,36 @@ class TestTuneNprobe:
             ivf.nprobe = before  # module-scoped fixture: restore
             tuning_mod.log.removeHandler(handler)
 
+    def test_margin_and_resamples_guard_the_cliff(self, ivf):
+        """VERDICT r3 #5: the pick must clear target + margin on the WORST
+        of multiple independent samples, so one lucky sample sitting
+        exactly on the target can't select a cliff-edge operating point."""
+        report = ivf.tune_nprobe(k=10, target_recall=0.9, sample=64,
+                                 margin=0.03, resamples=3, apply=False)
+        assert report["effective_target"] == pytest.approx(0.93)
+        assert report["resamples"] == 3
+        if report["target_met"]:
+            assert report["recall_min"] >= 0.93
+        # every sweep row reports its worst-sample recall
+        assert all("recall_min" in s and s["recall_min"] <= s["recall"] + 1e-9
+                   for s in report["sweep"])
+
+    def test_choice_is_stable_across_resampled_seeds(self, ivf):
+        """The same index tuned with disjoint random query samples must
+        pick the same operating point (the instability the margin +
+        worst-sample rule exists to remove)."""
+        picks = {ivf.tune_nprobe(k=10, target_recall=0.9, sample=64,
+                                 seed=s, apply=False)["nprobe"]
+                 for s in (0, 1, 2, 3)}
+        assert len(picks) == 1, f"unstable nprobe picks across seeds: {picks}"
+
+    def test_recorded_queries_split_into_subsets(self, ivf):
+        rng = np.random.default_rng(5)
+        q = _clustered(rng, 64, ivf.dim)
+        report = ivf.tune_nprobe(k=5, queries=q, target_recall=0.8, apply=False)
+        assert report["queries"] == 64
+        assert report["resamples"] == 2   # 64 rows -> two 32-row samples
+
     def test_sharded_ivf_tuning_applies_to_all_shards(self):
         rng = np.random.default_rng(123)
         d, n = 64, 3000
@@ -127,6 +157,41 @@ class TestRuntimeAutotune:
         assert set(reports) == set(rt.indexes)
         for name, idx in rt.indexes.items():
             assert idx.nprobe == reports[name]["nprobe"]
+
+    def test_runtime_feeds_recorded_queries_when_available(self, tmp_path, monkeypatch):
+        """VERDICT r3 #6: once the serving embedding cache has seen enough
+        real query vectors, tune_indexes must tune on THEM instead of
+        perturbed index contents."""
+        monkeypatch.setenv("INDEX_KIND", "ivf")
+        monkeypatch.setenv("IVF_NLIST", "8")
+        monkeypatch.setenv("IVF_NPROBE", "8")
+        monkeypatch.setenv("IVF_AUTOTUNE_RECALL", "0.9")
+        from financial_rag_tpu.config import FrameworkConfig
+        from financial_rag_tpu.runtime import Runtime
+
+        rt = Runtime.build(FrameworkConfig.from_env(), data_dir=tmp_path)
+        rng = np.random.default_rng(11)
+        x = _clustered(rng, 600, 384, n_centers=8)
+        for idx in rt.indexes.values():
+            idx.train(x, iters=4)
+            idx.upsert(np.arange(1, 601, dtype=np.int64), x)
+
+        # below the 32-vector floor: still perturbed-sample
+        for i in range(8):
+            for name in rt.indexes:
+                rt.dual_encoder.cache.put(name, f"warm {i}", x[i])
+        reports = rt.tune_indexes()
+        assert all(r["query_source"] == "perturbed-sample" for r in reports.values())
+
+        q = _clustered(rng, 48, 384, n_centers=8)
+        for i in range(48):
+            for name in rt.indexes:
+                rt.dual_encoder.cache.put(name, f"real query {i}", q[i])
+        reports = rt.tune_indexes()
+        for name, r in reports.items():
+            assert r["query_source"] == "recorded"
+            assert r["queries"] == 48 + 8
+            assert r["resamples"] >= 2   # recorded set split for stability
 
     def test_runtime_autotune_disabled_by_default(self, tmp_path):
         from financial_rag_tpu.config import FrameworkConfig
