@@ -55,13 +55,15 @@ class ProcessingLedger:
         self.state_path = Path(state_path)
         self._lock = threading.Lock()
         self.states: Dict[str, DocumentState] = {}
-        # doc_ids purged from the in-memory indexes whose purge has NOT yet
-        # been captured by a successful index checkpoint. remove_missing
-        # deletes the ledger entry outright, so without this a failed
-        # checkpoint on a deletion-heavy sweep leaves no retry obligation —
-        # a restart loads the stale checkpoint and resurrects the purged
-        # vectors as metadata-less ghosts that no later sweep re-purges.
-        self._purge_tombstones: List[str] = []
+        # {doc_id, child_ids} records for purges NOT yet captured by a
+        # successful index checkpoint. remove_missing deletes the ledger
+        # entry outright, so without this a failed checkpoint (or a crash)
+        # on a deletion-heavy sweep leaves no retry obligation — a restart
+        # loads the stale checkpoint and resurrects the purged vectors as
+        # metadata-less ghosts that no later sweep re-purges (the SQLite
+        # metadata deletion commits immediately, so the doc->children
+        # lookup the purge needs is gone; child_ids preserves it).
+        self._purge_tombstones: List[dict] = []
         self.load()
 
     # --------------------------------------------------------- persistence
@@ -74,8 +76,10 @@ class ProcessingLedger:
             if isinstance(raw, dict) and raw.get("__format__") == 2:
                 self.states = {k: DocumentState(**v)
                                for k, v in raw["states"].items()}
-                self._purge_tombstones = [str(d) for d in
-                                          raw.get("purge_tombstones", [])]
+                self._purge_tombstones = [
+                    t if isinstance(t, dict)
+                    else {"doc_id": str(t), "child_ids": []}
+                    for t in raw.get("purge_tombstones", [])]
             else:  # legacy format: flat {path: state}
                 self.states = {k: DocumentState(**v) for k, v in raw.items()}
                 self._purge_tombstones = []
@@ -95,16 +99,29 @@ class ProcessingLedger:
 
     # ----------------------------------------------------- purge tombstones
 
-    def add_purge_tombstone(self, doc_id: str) -> None:
+    def add_purge_tombstone(self, doc_id: str,
+                            child_ids: Optional[List[int]] = None) -> None:
         """Record that doc_id's vectors were purged in memory but the purge
-        is not yet durable (no index checkpoint has succeeded since)."""
+        is not yet durable (no index checkpoint has succeeded since).
+        ``child_ids`` carries the purged ids: the SQLite metadata deletion
+        commits immediately while the index purge only lives until the next
+        checkpoint, so after a crash the doc->children lookup is GONE and
+        the replayed purge must delete the ghost vectors by id."""
         with self._lock:
-            if doc_id not in self._purge_tombstones:
-                self._purge_tombstones.append(doc_id)
+            for t in self._purge_tombstones:
+                if t["doc_id"] == doc_id:
+                    if child_ids:
+                        merged = set(t.get("child_ids") or []) | set(
+                            int(c) for c in child_ids)
+                        t["child_ids"] = sorted(merged)
+                    return
+            self._purge_tombstones.append(
+                {"doc_id": doc_id,
+                 "child_ids": sorted(int(c) for c in (child_ids or []))})
 
-    def purge_tombstones(self) -> List[str]:
+    def purge_tombstones(self) -> List[dict]:
         with self._lock:
-            return list(self._purge_tombstones)
+            return [dict(t) for t in self._purge_tombstones]
 
     def clear_purge_tombstones(self) -> None:
         """Call after a SUCCESSFUL index checkpoint: the purges are durable."""

@@ -100,17 +100,39 @@ class DocumentProcessor:
             # checkpoint resurrects the purged vectors as metadata-less
             # ghosts. remove_document is idempotent; counting them as purged
             # forces a fresh checkpoint attempt below.
-            for doc_id in self.ledger.purge_tombstones():
+            for t in self.ledger.purge_tombstones():
+                doc_id = t["doc_id"]
                 log.info("re-purging %s (purge not yet checkpointed)", doc_id)
-                self.pipeline.remove_document(doc_id)
+                if t.get("child_ids"):
+                    # after a crash the doc->children metadata is already
+                    # gone (SQLite committed before death), so the ghost
+                    # vectors the stale checkpoint resurrected can only be
+                    # deleted by the ids the tombstone preserved
+                    self.pipeline.remove_document(doc_id,
+                                                  child_ids=t["child_ids"])
+                else:
+                    self.pipeline.remove_document(doc_id)
                 purged += 1
-            for gone in self.ledger.remove_missing(paths):
-                doc_id = Path(gone).stem
-                log.info("source removed, purging document %s", doc_id)
-                # tombstone BEFORE the purge: a crash between them replays
-                self.ledger.add_purge_tombstone(doc_id)
-                self.pipeline.remove_document(doc_id)
-                purged += 1
+            gone_docs = [Path(g).stem for g in self.ledger.remove_missing(paths)]
+            if gone_docs:
+                # tombstone every gone doc (with its child ids, captured
+                # while the metadata still resolves them) and make the
+                # tombstones DURABLE before the destructive purge: the
+                # SQLite metadata deletion commits instantly while the
+                # index purge lives only until the next checkpoint, so a
+                # crash mid-purge would otherwise leave ghost vectors whose
+                # ids nothing remembers (proven by
+                # tests/test_crash_recovery.py before this ordering)
+                meta = getattr(self.pipeline, "child_meta", None)
+                for doc_id in gone_docs:
+                    kids = (meta.children_of_document(doc_id)
+                            if meta is not None else [])
+                    self.ledger.add_purge_tombstone(doc_id, kids)
+                self.ledger.save()
+                for doc_id in gone_docs:
+                    log.info("source removed, purging document %s", doc_id)
+                    self.pipeline.remove_document(doc_id)
+                    purged += 1
 
             processed, skipped, failed = [], [], []
             force = set(force_paths or [])

@@ -368,11 +368,12 @@ class TestLedger:
 
     def test_purge_tombstones_persist(self, tmp_path):
         ledger = ProcessingLedger(tmp_path / "state.json")
-        ledger.add_purge_tombstone("doc9")
-        ledger.add_purge_tombstone("doc9")   # idempotent
+        ledger.add_purge_tombstone("doc9", [3, 1])
+        ledger.add_purge_tombstone("doc9", [1, 7])   # merges, never duplicates
         ledger.save()
         ledger2 = ProcessingLedger(tmp_path / "state.json")
-        assert ledger2.purge_tombstones() == ["doc9"]
+        assert ledger2.purge_tombstones() == [
+            {"doc_id": "doc9", "child_ids": [1, 3, 7]}]
         ledger2.clear_purge_tombstones()
         ledger2.save()
         assert ProcessingLedger(tmp_path / "state.json").purge_tombstones() == []
@@ -475,7 +476,8 @@ class TestProcessor:
         proc.process_all()               # purge runs, checkpoint FAILS
         assert pipe.removed == ["doomed"]
         # the obligation is durable (fresh process would see it)
-        assert ProcessingLedger(tmp_path / "state.json").purge_tombstones() \
+        assert [t["doc_id"] for t in
+                ProcessingLedger(tmp_path / "state.json").purge_tombstones()] \
             == ["doomed"]
 
         # "restart": fresh processor/pipeline over the persisted ledger —
