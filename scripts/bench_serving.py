@@ -175,14 +175,44 @@ def drive(rt, n_threads: int, n_queries: int, seed: int = 1):
     }
 
 
+def measure_ttfe(rt, n: int = 12, seed: int = 5):
+    """Time-to-first-SSE-event through the REAL WSGI app (`/search-stream`):
+    milliseconds from request start to the first streamed event bytes. The
+    reference inserts an artificial 0.5s delay before its first event
+    (reference api_server.py:1137); this framework streams the chunks event
+    as soon as retrieval lands."""
+    from werkzeug.test import Client
+
+    app = rt.make_app()
+    client = Client(app)
+    rng = np.random.default_rng(seed)
+    ts = []
+    for i in range(n):
+        q = " ".join(rng.choice(WORDS, size=5)) + f" ttfe_{i}"
+        t0 = time.time()
+        resp = client.post("/search-stream", json={"query": q})
+        for _chunk in resp.response:   # generator: first yield = first event
+            ts.append(time.time() - t0)
+            break
+        resp.close()
+    ts.sort()
+    return {"p50_ms": round(ts[len(ts) // 2] * 1e3, 1),
+            "p95_ms": round(ts[int(len(ts) * 0.95)] * 1e3, 1), "n": n}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=20_000)
-    ap.add_argument("--threads", default="16,64",
+    ap.add_argument("--threads", default="8,16,32,64",
                     help="comma-separated concurrency sweep")
     ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--slo-ms", type=float, default=300.0,
+                    help="p95 latency SLO bounding the slo_qps headline")
     ap.add_argument("--real-encoders", action="store_true")
     ap.add_argument("--out", default="BENCH_SERVING.json")
+    ap.add_argument("--append", action="store_true",
+                    help="append rows to --out instead of replacing it "
+                         "(the lexical + real runs share one artifact)")
     args = ap.parse_args()
     thread_counts = [int(t) for t in str(args.threads).split(",") if t]
 
@@ -236,6 +266,7 @@ def main():
         vals = sorted(s[field] for s in samples[key])
         return vals[len(vals) // 2]
 
+    direct_limit = rts[True].config.serving.microbatch_direct
     results = []
     qps_at = {}
     for mode in (False, True):
@@ -251,9 +282,47 @@ def main():
                    "p95_ms": round(median_of(key, "p95_ms"), 1),
                    "errors": sum(s["errors"] for s in samples[key]),
                    "reps": reps, "backend": backend}
-            if mode and rts[True].hybrid.sweep_batcher is not None:
-                row["batch_stats"] = rts[True].hybrid.sweep_batcher.stats()
+            if mode:
+                row["direct_limit"] = direct_limit
+                if rts[True].hybrid.sweep_batcher is not None:
+                    row["batch_stats"] = rts[True].hybrid.sweep_batcher.stats()
             results.append(row)
+
+    # SLO-bounded headline (VERDICT r3 #1): the number a serving system is
+    # judged by — max sustained QPS among sweep points whose p95 meets the
+    # SLO. Saturated-QPS alone rewards queueing; this does not.
+    for mode in (False, True):
+        label = "microbatch" if mode else "thread-per-request"
+        ok = [(qps_at[(mode, t)], t) for t in thread_counts
+              if median_of((mode, t), "p95_ms") <= args.slo_ms]
+        if ok:
+            best_qps, best_t = max(ok)
+            met = True
+        else:   # nothing met the SLO: report the least-bad point honestly
+            best_t = min(thread_counts,
+                         key=lambda t: median_of((mode, t), "p95_ms"))
+            best_qps, met = qps_at[(mode, best_t)], False
+        results.append({
+            "metric": f"slo_qps ({label}): max sustained QPS with "
+                      f"p95 <= {args.slo_ms:.0f} ms",
+            "value": round(best_qps, 1), "unit": "qps",
+            "vs_baseline": None, "encoders": enc_label,
+            "slo_ms": args.slo_ms, "slo_met": met, "at_threads": best_t,
+            "p95_ms": round(median_of((mode, best_t), "p95_ms"), 1),
+            "swept_threads": thread_counts, "backend": backend})
+
+    # time-to-first-SSE-event through the real WSGI app; the reference
+    # delays its first event by an artificial 0.5s (api_server.py:1137)
+    ttfe = measure_ttfe(rts[True])
+    results.append({
+        "metric": "time-to-first-SSE-event (/search-stream, isolated "
+                  "requests, microbatch runtime)",
+        "value": ttfe["p50_ms"], "unit": "ms",
+        "vs_baseline": round(500.0 / max(ttfe["p50_ms"], 1e-9), 1),
+        "note": "vs_baseline = reference's artificial 0.5s first-event "
+                "delay / this p50",
+        "p95_ms": ttfe["p95_ms"], "n": ttfe["n"],
+        "encoders": enc_label, "backend": backend})
 
     for n_threads in thread_counts:
         # median of ADJACENT-pair ratios: each rep's on/off drives ran
@@ -269,7 +338,12 @@ def main():
                         "encoders": enc_label, "backend": backend})
     tmp_off.cleanup()
     tmp_on.cleanup()
-    Path(args.out).write_text("\n".join(json.dumps(r) for r in results) + "\n")
+    payload = "\n".join(json.dumps(r) for r in results) + "\n"
+    if args.append:
+        with open(args.out, "a") as f:
+            f.write(payload)
+    else:
+        Path(args.out).write_text(payload)
     for r in results:
         print(json.dumps(r))
     if ckpt_tmp is not None:
