@@ -55,7 +55,25 @@ def main():
     errors = []
     wrong_doc = []
     per_worker_queries = [0] * args.threads   # no shared counter races
+    # (t_rel_s, latency_ms) per worker: drift evidence without a shared
+    # lock on the query hot path (each list has exactly one writer).
+    per_worker_lats = [[] for _ in range(args.threads)]
+    samples = []  # (t_rel_s, rss_mb, hbm_mb) from the sampler thread
     counts = {"churns": 0, "maintenance": 0}
+
+    def rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    def hbm_mb() -> float:
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return (stats or {}).get("bytes_in_use", 0) / 1e6
+        except Exception:  # noqa: BLE001 — CPU backend has no memory_stats
+            return 0.0
 
     # churn documents: ingested/removed through the REAL pipeline so the
     # indexes see upsert/delete storms while queries are in flight. Each
@@ -75,7 +93,10 @@ def main():
             q = (" ".join(rng.choice(WORDS, size=4))
                  + f" soak{wid}_{per_worker_queries[wid]}")   # unique per worker
             try:
+                q_start = time.time()
                 out = rt.engine.query(q)
+                per_worker_lats[wid].append(
+                    (q_start - t0, (time.time() - q_start) * 1000.0))
                 if not out.get("success"):
                     errors.append(("query", out.get("answer", "")[:80]))
                 for c in out.get("top_children_chunks", []):
@@ -114,10 +135,16 @@ def main():
             counts["maintenance"] += 1
             stop.wait(2.0)
 
+    def sampler_worker():
+        while not stop.is_set():
+            samples.append((time.time() - t0, rss_mb(), hbm_mb()))
+            stop.wait(15.0)
+
     threads = ([threading.Thread(target=query_worker, args=(w,))
                 for w in range(args.threads)]
                + [threading.Thread(target=churn_worker),
-                  threading.Thread(target=maintenance_worker)])
+                  threading.Thread(target=maintenance_worker),
+                  threading.Thread(target=sampler_worker)])
     t0 = time.time()
     for t in threads:
         t.start()
@@ -130,6 +157,26 @@ def main():
 
     gauge = rt.engine.active.value() if rt.engine.active is not None else 0
     n_queries = sum(per_worker_queries)
+
+    # Latency drift: p50/p95 per 60s window across the whole run. Memory
+    # drift / HBM fragmentation shows up as a rising tail; a healthy soak
+    # holds the last window within noise of the first.
+    all_lats = sorted(e for lats in per_worker_lats for e in lats)
+    win = 60.0
+    windows = []
+    if all_lats:
+        n_win = max(1, int(wall // win) + (1 if wall % win > 5 else 0))
+        for w in range(n_win):
+            vals = [ms for (ts, ms) in all_lats if w * win <= ts < (w + 1) * win]
+            if len(vals) >= 10:
+                windows.append({
+                    "minute": w,
+                    "n": len(vals),
+                    "p50_ms": round(float(np.percentile(vals, 50)), 1),
+                    "p95_ms": round(float(np.percentile(vals, 95)), 1),
+                })
+    drift = (round(windows[-1]["p95_ms"] / windows[0]["p95_ms"], 3)
+             if len(windows) >= 2 else None)
     row = {
         "metric": "serving soak (concurrent query + ingest churn + compact/save)",
         "seconds": round(wall, 1),
@@ -141,6 +188,12 @@ def main():
         "wrong_document_attributions": len(wrong_doc),
         "gauge_after": gauge,
         "backend": jax.default_backend(),
+        "p95_by_minute": windows,
+        "p95_drift_last_over_first": drift,
+        "rss_mb_start": round(samples[0][1], 1) if samples else None,
+        "rss_mb_end": round(samples[-1][1], 1) if samples else None,
+        "hbm_mb_start": round(samples[0][2], 1) if samples else None,
+        "hbm_mb_end": round(samples[-1][2], 1) if samples else None,
     }
     print(json.dumps(row))
     for kind, msg in errors[:10]:
