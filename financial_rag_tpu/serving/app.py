@@ -41,7 +41,7 @@ from werkzeug.wrappers import Request, Response
 from financial_rag_tpu.config import FrameworkConfig
 from financial_rag_tpu.engine import RAGEngine
 from financial_rag_tpu.serving.formatting import (
-    EXT_TO_UI_TYPE,
+    _ui_file_type,
     format_ai_response,
     format_chunks_for_ui,
 )
@@ -157,7 +157,7 @@ class RagApi:
             result.get("top_children_chunks") or result.get("chunks") or [])
         return _json({
             "documents": documents,
-            "aiResponse": format_ai_response(result.get("answer", "")),
+            "aiResponse": format_ai_response(result.get("answer", ""), documents),
             "query": query,
             "status": "success" if result.get("success", True) else "error",
             "method": "rag_enhanced",  # fixed label (reference api_server.py:922-928)
@@ -190,6 +190,7 @@ class RagApi:
                 # (same bound on_search enforces with future.result).
                 deadline = time.monotonic() + timeout
                 stream = iter(self.engine.query_stream(query, filters=filters))
+                streamed_docs: list = []   # chunks-phase documents, for refs
                 done = object()
                 while True:
                     remaining = deadline - time.monotonic()
@@ -211,14 +212,16 @@ class RagApi:
                         break
                     phase, payload = step
                     if phase == "chunks":
+                        streamed_docs = format_chunks_for_ui(payload)
                         yield sse({"type": "chunks",
-                                   "data": {"documents": format_chunks_for_ui(payload)}})
+                                   "data": {"documents": streamed_docs}})
                         if delay:
                             time.sleep(delay)
                     else:  # complete
                         yield sse({"type": "answer",
                                    "data": {"aiResponse":
-                                            format_ai_response(payload.get("answer", ""))}})
+                                            format_ai_response(payload.get("answer", ""),
+                                                               streamed_docs)}})
                         yield sse({"type": "complete",
                                    "data": {"status": "success", "method": "rag_enhanced"}})
                         self.sysperf.record_request(ok=True)
@@ -286,7 +289,9 @@ class RagApi:
             {
                 "id": f"doc_{i}",
                 "title": p.name,
-                "fileType": EXT_TO_UI_TYPE.get(p.suffix.lstrip(".").lower(), "txt"),
+                # same mapping search results use (_ui_file_type), so the
+                # home screen's recent-docs icons agree with result cards
+                "fileType": _ui_file_type(str(p)),
                 "sourcePath": str(p),
                 "lastAccessed": datetime.fromtimestamp(m).isoformat() + "Z",
                 "sourceType": "Windows Shares",

@@ -24,6 +24,9 @@ EXT_TO_UI_TYPE = {
     "eml": "email", "msg": "email",
     "zip": "compressed", "tar": "compressed", "gz": "compressed",
     "rar": "compressed", "7z": "compressed",
+    "json": "json",
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "tif": "image", "tiff": "image", "bmp": "image",
 }
 
 
@@ -107,8 +110,16 @@ def html_to_markdown(text: str) -> str:
     return t.strip()
 
 
-def format_ai_response(raw: str) -> dict:
-    """Raw answer -> AiResponse {summary, items}."""
+def format_ai_response(raw: str, documents: Optional[List[dict]] = None) -> dict:
+    """Raw answer -> AiResponse {summary, items}.
+
+    ``references`` is the reference UI's AiReference wire shape —
+    ``[{"id": N, "docId": <documents[N-1].id>}]`` (api_server.py:1147,
+    amber-ai-search types.ts AiReference) — so the React AiAnswer's
+    ``ref.id`` chip label and ``ref.docId`` click-to-scroll work unchanged.
+    [N] citation markers in the answer pick the cited documents; with no
+    markers, the first five documents are cited, matching the reference.
+    """
     if not raw or not raw.strip():
         return {"summary": "No response generated", "items": []}
     cleaned = html_to_markdown(raw)
@@ -124,8 +135,19 @@ def format_ai_response(raw: str) -> dict:
     # [N]-style citation markers in the answer become 1-based references
     # into the documents list (the wire shape the reference UI's
     # click-to-scroll consumes, amber-ai-search App.tsx:154-166 / types.ts)
-    refs = sorted({int(m) for m in re.findall(r"\[(\d{1,2})\]", cleaned)
+    nums = sorted({int(m) for m in re.findall(r"\[(\d{1,2})\]", cleaned)
                    if 1 <= int(m) <= 50})
+    if not nums and documents:
+        nums = list(range(1, min(5, len(documents)) + 1))
+    if documents is not None:
+        nums = [n for n in nums if n <= len(documents)]
+
+    def _doc_id(n: int) -> str:
+        if documents and n <= len(documents):
+            return str(documents[n - 1].get("id", f"doc_{n - 1}"))
+        return f"doc_{n - 1}"   # format_chunks_for_ui's 0-based default ids
+
+    refs = [{"id": n, "docId": _doc_id(n)} for n in nums]
     return {
         "summary": summary,
         "items": [{"title": "Analysis Results", "text": cleaned, "references": refs}],

@@ -242,16 +242,27 @@ class TestAPI:
         assert resp.status_code == 200
         body = resp.get_data(as_text=True)
         assert "search-stream" in body and "<html" in body
-        # experience-shape surfaces mirroring amber-ai-search (App.tsx):
-        # home -> loading -> results views, the filter triple, answer pane,
-        # reference chips, PDF modal
-        # fileType is a checkbox multi-select (FilterDropdown.tsx) and
-        # timeRange has the custom date pair (TimeFilterDropdown.tsx)
-        for marker in ('id="home"', 'id="loading"', 'id="resultsView"',
-                       'id="ftMenu"', 'id="timeRange"', 'id="dataSource"',
-                       'id="customStart"', 'id="customEnd"',
-                       'id="answer"', 'id="refs"', 'id="modalFrame"',
-                       "recent-documents", "/search"):
+        # component-for-component surfaces mirroring amber-ai-search:
+        # App.tsx state machine + every components/*.tsx counterpart
+        for marker in (
+                'id="home"', 'id="resultsView"',            # App.tsx views
+                "Ctrl + K", "Lately interacted documents",   # HomeScreen.tsx
+                'id="clearQ"', 'id="applyFilters"',          # Header.tsx
+                'id="headStatus"',
+                'id="ftMenu"', 'id="dsMenu"',                # FilterDropdown.tsx
+                'id="trMenu"', "customStart", "customEnd",   # TimeFilterDropdown
+                'id="leftPane"', "Ready to search",          # LeftPane.tsx
+                "No results found",
+                "More highlights", "Page Preview",           # DocumentCard.tsx
+                "truncatePath", "Path copied",               # FilePath.tsx
+                "Financial Document Intelligence",           # RightPane.tsx
+                "Analyzing your query",                      # LoadingScreen.tsx
+                "refchip", "typewrite",                      # AiAnswer/Typewriter
+                'id="pdfFrame"', 'id="pdfZoomPct"',          # PdfViewer.tsx
+                'id="pdfPage"',
+                'id="chatBtn"',                              # ChatWidget.tsx
+                "appliedFilters",                            # staged vs applied
+                "recent-documents", "/search", "search-stream"):
             assert marker in body, marker
 
     def test_feedback_and_metrics(self, stack):
@@ -276,13 +287,27 @@ class TestFormatting:
         assert format_ai_response("") == {"summary": "No response generated", "items": []}
 
     def test_ai_response_extracts_citation_references(self):
-        """[N] markers become 1-based references for the UI's
-        click-to-scroll (reference App.tsx:154-166 / types.ts)."""
+        """[N] markers become AiReference {id, docId} pairs — the exact
+        wire shape the reference UI's click-to-scroll consumes
+        (reference api_server.py:1147, App.tsx:154-166 / types.ts)."""
+        docs = [{"id": f"child_{i}"} for i in range(4)]
         out = format_ai_response(
             "The rent is Rs 42,800 [1]. The lock-in period is 36 months [3]. "
-            "See also [1] and the year [2024] which is not a citation.")
-        assert out["items"][0]["references"] == [1, 3]
+            "See also [1] and the year [2024] which is not a citation.", docs)
+        assert out["items"][0]["references"] == [
+            {"id": 1, "docId": "child_0"}, {"id": 3, "docId": "child_2"}]
+        # no documents supplied: ids fall back to format_chunks_for_ui's
+        # 0-based doc_{i} defaults
+        out = format_ai_response("rent [2]")
+        assert out["items"][0]["references"] == [{"id": 2, "docId": "doc_1"}]
+        # no markers: cite the first five documents, like the reference
+        out = format_ai_response("plain answer", docs)
+        assert [r["id"] for r in out["items"][0]["references"]] == [1, 2, 3, 4]
+        # no markers and no documents: nothing to cite
         assert format_ai_response("plain answer")["items"][0]["references"] == []
+        # markers beyond the document list are dropped
+        out = format_ai_response("see [9]", docs)
+        assert out["items"][0]["references"] == []
 
     def test_chunks_formatting_types(self):
         docs = format_chunks_for_ui([
