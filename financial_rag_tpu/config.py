@@ -191,6 +191,10 @@ class LLMConfig:
     retry_sleep_s: float = 1.0
     timeout_s: float = 30.0
     chunk_context_enabled: bool = field(default_factory=lambda: _env("CHUNK_CONTEXT_ENABLED", False))
+    # on-device answer synthesis (llm/local_llm.py): a HF Qwen2/Llama-family
+    # checkpoint directory; LLM_PROVIDER=local selects it
+    local_checkpoint: Optional[str] = field(default_factory=lambda: _env("LLM_CHECKPOINT", None, str))
+    local_max_new_tokens: int = field(default_factory=lambda: _env("LLM_MAX_NEW_TOKENS", 256, int))
 
 
 @dataclass

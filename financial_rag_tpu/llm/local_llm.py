@@ -1,0 +1,178 @@
+"""On-device LLM provider: answer synthesis from a local HF checkpoint.
+
+The reference can only synthesize answers through an external HTTP API
+(reference api_adapter.py:18-56); without a key/network every answer
+degrades to concatenated context. This provider runs a Qwen2/Llama-family
+checkpoint on the TPU itself (models/decoder.py), so the full RAG loop —
+retrieve, rerank, SYNTHESIZE — works with zero egress.
+
+Point LLM_CHECKPOINT at a HuggingFace model directory (config.json +
+model.safetensors [+ index shards] + tokenizer.json) and set
+LLM_PROVIDER=local. Prompts are LEFT-padded to static length buckets and
+generation length is bucketed too, so the whole generate call compiles
+once per (bucket, max_new) pair and each request is ONE device dispatch.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from financial_rag_tpu.config import LLMConfig
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("llm.local")
+
+_PROMPT_BUCKETS = (128, 256, 512, 1024, 2048)
+_NEW_TOKEN_BUCKETS = (64, 256, 1024)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _load_state_dict(model_dir: Path) -> dict:
+    """model.safetensors, sharded *.safetensors via index, or pytorch_model.bin."""
+    from safetensors import safe_open
+
+    def read(path: Path, out: dict) -> None:
+        with safe_open(str(path), framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+
+    sd: dict = {}
+    single = model_dir / "model.safetensors"
+    index = model_dir / "model.safetensors.index.json"
+    if single.exists():
+        read(single, sd)
+    elif index.exists():
+        shards = sorted(set(json.loads(index.read_text())["weight_map"].values()))
+        for name in shards:
+            read(model_dir / name, sd)
+    else:
+        import torch
+        bin_path = model_dir / "pytorch_model.bin"
+        state = torch.load(str(bin_path), map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in state.items()}
+    return sd
+
+
+class LocalLLM:
+    """LLMProvider backed by models/decoder.py. Thread-safe; loads lazily."""
+
+    name = "local"
+
+    def __init__(self, cfg: Optional[LLMConfig] = None,
+                 model_dir: Optional[str] = None, dtype: str = "bfloat16",
+                 max_prompt_tokens: int = 2048) -> None:
+        self.cfg = cfg or LLMConfig()
+        self.model_dir = Path(model_dir or self.cfg.local_checkpoint or "")
+        self.dtype = dtype
+        self.max_prompt_tokens = max_prompt_tokens
+        self._lock = threading.Lock()
+        self._loaded = False
+        self._failed = False
+        self._params = None
+        self._dcfg = None
+        self._tok = None
+        self._chat: Optional[str] = None     # "chatml" | "inst" | None
+
+    # ----------------------------------------------------------------- load
+
+    def _ensure_loaded(self) -> bool:
+        if self._loaded:
+            return True
+        if self._failed:
+            return False
+        with self._lock:
+            if self._loaded or self._failed:
+                return self._loaded
+            try:
+                self._load()
+                self._loaded = True
+            except Exception as e:  # noqa: BLE001 — degrade, don't crash serving
+                log.warning("local LLM unavailable (%s): %s", self.model_dir, e)
+                self._failed = True
+        return self._loaded
+
+    def _load(self) -> None:
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.models.decoder import (
+            DecoderConfig, decoder_params_from_torch_state_dict)
+
+        hf_cfg = json.loads((self.model_dir / "config.json").read_text())
+        self._dcfg = DecoderConfig.from_hf_config(hf_cfg)
+        sd = _load_state_dict(self.model_dir)
+        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        self._params = decoder_params_from_torch_state_dict(
+            sd, self._dcfg, dtype=dtype)
+
+        from tokenizers import Tokenizer
+        self._tok = Tokenizer.from_file(str(self.model_dir / "tokenizer.json"))
+
+        # chat-template detection: enough to cover the two template families
+        # these architectures ship with; anything else runs as completion.
+        tcfg_path = self.model_dir / "tokenizer_config.json"
+        template = ""
+        if tcfg_path.exists():
+            template = json.loads(tcfg_path.read_text()).get("chat_template") or ""
+        if "im_start" in template:
+            self._chat = "chatml"
+        elif "[INST]" in template:
+            self._chat = "inst"
+        log.info("local LLM loaded: %s (%d layers, %d hidden, template=%s)",
+                 self.model_dir.name, self._dcfg.num_layers,
+                 self._dcfg.hidden_size, self._chat or "completion")
+
+    # ------------------------------------------------------------- provider
+
+    def available(self) -> bool:
+        return self._ensure_loaded()
+
+    def _wrap(self, prompt: str) -> str:
+        if self._chat == "chatml":
+            return (f"<|im_start|>user\n{prompt}<|im_end|>\n"
+                    f"<|im_start|>assistant\n")
+        if self._chat == "inst":
+            return f"[INST] {prompt} [/INST]"
+        return prompt
+
+    def generate(self, prompt: str, *, max_tokens: int = 1024) -> Optional[str]:
+        if not self._ensure_loaded():
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.models.decoder import generate_tokens
+
+        enc = self._tok.encode(self._wrap(prompt))
+        ids = list(enc.ids)[-self.max_prompt_tokens:]
+        bucket = _bucket(len(ids), _PROMPT_BUCKETS)
+        pad = bucket - len(ids)
+        input_ids = np.full((1, bucket), self._dcfg.eos_token_id, np.int32)
+        mask = np.zeros((1, bucket), np.int32)
+        input_ids[0, pad:] = ids                    # LEFT padding
+        mask[0, pad:] = 1
+        max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        toks = generate_tokens(
+            self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+            jax.random.PRNGKey(0), cfg=self._dcfg, max_new_tokens=max_new,
+            temperature=0.0)
+        out = np.asarray(toks)[0].tolist()
+        if self._dcfg.eos_token_id in out:
+            out = out[:out.index(self._dcfg.eos_token_id)]
+        text = self._tok.decode(out, skip_special_tokens=True).strip()
+        # a chat turn ends at the template's end marker even if the model
+        # keeps going (no eos in the first max_new tokens)
+        for stop in ("<|im_end|>", "</s>", "[INST]"):
+            if stop in text:
+                text = text.split(stop, 1)[0].strip()
+        return text or None

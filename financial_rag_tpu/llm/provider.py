@@ -92,4 +92,8 @@ def get_provider(cfg: Optional[LLMConfig] = None) -> LLMProvider:
         from financial_rag_tpu.llm.gemini import GeminiProvider
 
         return GeminiProvider(cfg)
+    if cfg.provider == "local" and cfg.local_checkpoint:
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+
+        return LocalLLM(cfg)   # loads lazily; degrades to NullLLM semantics
     return NullLLM()

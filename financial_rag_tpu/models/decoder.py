@@ -1,0 +1,367 @@
+"""TPU-native causal decoder LM (Qwen2/Llama-family) for answer synthesis.
+
+The reference's answer synthesis is an HTTP call to an external LLM
+(reference api_adapter.py:18-56, rag_backend.py:554-557) — unusable without
+egress and never on the user's own hardware. This module serves the same
+role on-device: a functional JAX decoder in the HF Qwen2/Llama architecture
+(RMSNorm, rotary embeddings, grouped-query attention, SwiGLU) whose weights
+load straight from a HuggingFace checkpoint directory.
+
+TPU-first design notes:
+- layers are STACKED on a leading axis and executed with ``lax.scan`` (one
+  compiled layer body regardless of depth — same pattern as models/bert.py);
+- generation is ONE jitted call: prefill fills the KV cache, then a
+  ``lax.scan`` over decode steps emits every token. Through a tunneled
+  device (~35 ms/RPC here) a per-token host loop would cost more in RPCs
+  than in FLOPs; one dispatch + one materialization makes generation
+  latency compute-bound;
+- static shapes everywhere: the prompt is padded to a static bucket and
+  ``max_new_tokens`` is a static scan length, so each (bucket, max_new)
+  pair compiles once and is cached;
+- params default to bf16 (MXU-native); softmax/RMSNorm accumulate in f32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from financial_rag_tpu.utils import get_logger
+
+log = get_logger("models.decoder")
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Architecture hyperparameters (HF config.json field names in parens)."""
+
+    vocab_size: int = 32000            # vocab_size
+    num_layers: int = 4                # num_hidden_layers
+    hidden_size: int = 256             # hidden_size
+    num_heads: int = 8                 # num_attention_heads
+    num_kv_heads: int = 8              # num_key_value_heads (GQA when < heads)
+    intermediate_size: int = 1024      # intermediate_size
+    rope_theta: float = 10000.0        # rope_theta (Qwen2 ships 1e6)
+    norm_eps: float = 1e-6             # rms_norm_eps
+    attention_bias: bool = False       # q/k/v biases (True for Qwen2)
+    tie_embeddings: bool = False       # tie_word_embeddings
+    eos_token_id: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf_config(cls, hf: Mapping[str, Any]) -> "DecoderConfig":
+        """Build from a HuggingFace config.json dict (Qwen2 or Llama)."""
+        arch = (hf.get("architectures") or [""])[0].lower()
+        eos = hf.get("eos_token_id", 2)
+        if isinstance(eos, (list, tuple)):
+            eos = eos[0]
+        return cls(
+            vocab_size=hf["vocab_size"],
+            num_layers=hf["num_hidden_layers"],
+            hidden_size=hf["hidden_size"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            intermediate_size=hf["intermediate_size"],
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+            attention_bias=bool(hf.get("attention_bias", "qwen2" in arch)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+            eos_token_id=int(eos),
+        )
+
+
+# ------------------------------------------------------------------ params
+
+def random_decoder_params(cfg: DecoderConfig, seed: int = 0,
+                          dtype=jnp.float32) -> Dict[str, Any]:
+    """Deterministic small-scale init (tests/benches run without weights)."""
+    rng = np.random.default_rng(seed)
+    h, kv = cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim
+    nl, ff = cfg.num_layers, cfg.intermediate_size
+
+    def tn(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    params = {
+        "embed": tn(cfg.vocab_size, h),
+        "layers": {
+            "ln1": np.ones((nl, h), np.float32),
+            "q_w": tn(nl, h, h), "k_w": tn(nl, h, kv), "v_w": tn(nl, h, kv),
+            "o_w": tn(nl, h, h),
+            "ln2": np.ones((nl, h), np.float32),
+            "gate_w": tn(nl, h, ff), "up_w": tn(nl, h, ff),
+            "down_w": tn(nl, ff, h),
+        },
+        "final_ln": np.ones((h,), np.float32),
+    }
+    if cfg.attention_bias:
+        params["layers"].update({
+            "q_b": np.zeros((nl, h), np.float32),
+            "k_b": np.zeros((nl, kv), np.float32),
+            "v_b": np.zeros((nl, kv), np.float32),
+        })
+    if not cfg.tie_embeddings:
+        params["lm_head"] = tn(cfg.vocab_size, h)
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def decoder_params_from_torch_state_dict(
+        sd: Mapping[str, Any], cfg: DecoderConfig,
+        dtype=jnp.float32) -> Dict[str, Any]:
+    """HF Qwen2ForCausalLM / LlamaForCausalLM state dict -> stacked pytree.
+
+    HF stores Linear weights as [out, in]; this pytree stores [in, out] so
+    the forward pass is plain ``x @ w``.
+    """
+
+    def get(name: str) -> np.ndarray:
+        t = sd[name]
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    def stack_w(fmt: str) -> np.ndarray:
+        return np.stack([get(fmt.format(i)).T for i in range(cfg.num_layers)])
+
+    def stack_v(fmt: str) -> np.ndarray:
+        return np.stack([get(fmt.format(i)) for i in range(cfg.num_layers)])
+
+    p = "model.layers.{}."
+    params: Dict[str, Any] = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": {
+            "ln1": stack_v(p + "input_layernorm.weight"),
+            "q_w": stack_w(p + "self_attn.q_proj.weight"),
+            "k_w": stack_w(p + "self_attn.k_proj.weight"),
+            "v_w": stack_w(p + "self_attn.v_proj.weight"),
+            "o_w": stack_w(p + "self_attn.o_proj.weight"),
+            "ln2": stack_v(p + "post_attention_layernorm.weight"),
+            "gate_w": stack_w(p + "mlp.gate_proj.weight"),
+            "up_w": stack_w(p + "mlp.up_proj.weight"),
+            "down_w": stack_w(p + "mlp.down_proj.weight"),
+        },
+        "final_ln": get("model.norm.weight"),
+    }
+    if cfg.attention_bias:
+        params["layers"].update({
+            "q_b": stack_v(p + "self_attn.q_proj.bias"),
+            "k_b": stack_v(p + "self_attn.k_proj.bias"),
+            "v_b": stack_v(p + "self_attn.v_proj.bias"),
+        })
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight")
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+# ----------------------------------------------------------------- forward
+
+def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype) * scale
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF rotate-half convention. x: [B, S, H, D]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.astype(jnp.float32)[..., None] * freqs      # [B, S, D/2]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attend(q, k, v, mask, cfg: DecoderConfig):
+    """q: [B,S,H,D]; k,v: [B,T,KV,D]; mask: [B,S,T] bool (True = attend)."""
+    groups = cfg.num_heads // cfg.num_kv_heads
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+    scores = jnp.einsum("bshd,bthd->bhst", q, k) / np.sqrt(cfg.head_dim)
+    scores = jnp.where(mask[:, None, :, :], scores.astype(jnp.float32),
+                       jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
+    """One decoder layer over new positions, attending to (cache + new).
+
+    x: [B, S, H]; k_cache/v_cache: [B, T, KV, D] (positions before the new
+    block; T=0 for prefill); returns (x_out, k_new, v_new) where
+    k_new/v_new are the NEW positions' projections [B, S, KV, D].
+    """
+    b, s, _ = x.shape
+    h = _rms_norm(x, lp["ln1"], cfg.norm_eps)
+    q = h @ lp["q_w"]
+    k = h @ lp["k_w"]
+    v = h @ lp["v_w"]
+    if cfg.attention_bias:
+        q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta)
+    k_new = _rope(k, positions, cfg.rope_theta)
+    k_all = jnp.concatenate([k_cache, k_new], axis=1) if k_cache.shape[1] else k_new
+    v_all = jnp.concatenate([v_cache, v], axis=1) if v_cache.shape[1] else v
+    attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
+    x = x + attn @ lp["o_w"]
+    h = _rms_norm(x, lp["ln2"], cfg.norm_eps)
+    ff = (jax.nn.silu(h @ lp["gate_w"]) * (h @ lp["up_w"])) @ lp["down_w"]
+    return x + ff, k_new, v
+
+
+def _logits(params, x, cfg: DecoderConfig):
+    x = _rms_norm(x, params["final_ln"], cfg.norm_eps)
+    head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
+    return jnp.einsum("bsh,vh->bsv", x, head).astype(jnp.float32)
+
+
+def decoder_forward(params, input_ids, cfg: DecoderConfig,
+                    attention_mask: Optional[jnp.ndarray] = None):
+    """Full-sequence causal forward -> logits [B, S, V] (prefill shape).
+
+    ``attention_mask`` marks real tokens (1) vs LEFT padding (0); positions
+    are counted over real tokens so left-padded prompts match HF exactly.
+    """
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    positions = jnp.cumsum(attention_mask, axis=1) - 1          # [B, S]
+    positions = jnp.maximum(positions, 0)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None]             # [1, S, S]
+    mask = causal & (attention_mask[:, None, :] == 1)           # [B, S, S]
+    x = params["embed"][input_ids]
+
+    empty_k = jnp.zeros((b, 0, cfg.num_kv_heads, cfg.head_dim), x.dtype)
+    empty_v = empty_k
+
+    def body(h, lp):
+        h, _, _ = _layer(h, empty_k, empty_v, lp, positions, mask, cfg)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return _logits(params, x, cfg)
+
+
+# ---------------------------------------------------------------- generate
+
+def _prefill(params, input_ids, attention_mask, max_total: int,
+             cfg: DecoderConfig):
+    """Run the prompt, return (last-position logits, full-size KV cache)."""
+    b, s = input_ids.shape
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None]
+    mask = causal & (attention_mask[:, None, :] == 1)
+    x = params["embed"][input_ids]
+    empty = jnp.zeros((b, 0, cfg.num_kv_heads, cfg.head_dim), x.dtype)
+
+    def body(h, lp):
+        h, k_new, v_new = _layer(h, empty, empty, lp, positions, mask, cfg)
+        return h, (k_new, v_new)
+
+    x, (k_seq, v_seq) = jax.lax.scan(body, x, params["layers"])
+    # caches sized for the whole generation up front: [L, B, max_total, KV, D]
+    pad = max_total - s
+    k_cache = jnp.pad(k_seq, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v_cache = jnp.pad(v_seq, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    return _logits(params, x[:, -1:, :], cfg)[:, 0], k_cache, v_cache
+
+
+def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
+                cfg: DecoderConfig):
+    """One decode step. token: [B], pos: [B] rotary position ids of `token`
+    (real-token counts, so left padding doesn't shift the rotation), slot:
+    scalar cache slot to write (padded prompt length + step index — uniform
+    across the batch because the cache is laid out in padded coordinates).
+    Attention masks out slots beyond this step and prompt-padding slots.
+    """
+    b = token.shape[0]
+    max_total = k_cache.shape[2]
+    x = params["embed"][token][:, None, :]               # [B, 1, H]
+    valid = jnp.arange(max_total)[None, :] <= slot       # [1, T] filled slots
+    mask = (valid & prompt_mask)[:, None, :]             # [B, 1, T]
+
+    def body2(h, xs):
+        lp, kc, vc = xs
+        hh = _rms_norm(h, lp["ln1"], cfg.norm_eps)
+        q = hh @ lp["q_w"]
+        k = hh @ lp["k_w"]
+        v = hh @ lp["v_w"]
+        if cfg.attention_bias:
+            q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+        q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = _rope(q, pos[:, None], cfg.rope_theta)
+        k = _rope(k, pos[:, None], cfg.rope_theta)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot, axis=1)
+        attn = _attend(q, kc, vc, mask, cfg).reshape(b, 1, cfg.hidden_size)
+        h = h + attn @ lp["o_w"]
+        hh = _rms_norm(h, lp["ln2"], cfg.norm_eps)
+        ff = (jax.nn.silu(hh @ lp["gate_w"]) * (hh @ lp["up_w"])) @ lp["down_w"]
+        return h + ff, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(body2, x,
+                                         (params["layers"], k_cache, v_cache))
+    return _logits(params, x, cfg)[:, 0], k_cache, v_cache
+
+
+def _sample(logits, rng, temperature: float, top_k: int):
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_k > 0:
+        vals, _ = jax.lax.top_k(logits, top_k)
+        logits = jnp.where(logits < vals[..., -1:], -1e30, logits)
+    return jax.random.categorical(rng, logits / temperature).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
+                                   "top_k"))
+def generate_tokens(params, input_ids, attention_mask, rng,
+                    *, cfg: DecoderConfig, max_new_tokens: int,
+                    temperature: float = 0.0, top_k: int = 0):
+    """ONE device dispatch: prefill + max_new_tokens decode steps.
+
+    input_ids/attention_mask: [B, S] LEFT-padded prompts. Returns
+    [B, max_new_tokens] int32; callers trim at eos host-side. Once a row
+    emits eos it keeps feeding eos (its later logits are discarded), so
+    trimmed output is independent of max_new_tokens.
+    """
+    b, s = input_ids.shape
+    max_total = s + max_new_tokens
+    last_logits, k_cache, v_cache = _prefill(params, input_ids,
+                                             attention_mask, max_total, cfg)
+    # decode-step mask over cache slots: prompt padding stays invisible
+    prompt_mask = jnp.concatenate(
+        [attention_mask == 1,
+         jnp.ones((b, max_new_tokens), bool)], axis=1)           # [B, T]
+    pos0 = jnp.sum(attention_mask, axis=1)                       # next position
+    rngs = jax.random.split(rng, max_new_tokens)
+    tok0 = _sample(last_logits, rngs[0], temperature, top_k)
+    done0 = tok0 == cfg.eos_token_id
+
+    def step(carry, rng_i):
+        i, tok, done, kc, vc = carry
+        logits, kc, vc = _decode_one(params, tok, pos0 + i, s + i, kc, vc,
+                                     prompt_mask, cfg)
+        nxt = _sample(logits, rng_i, temperature, top_k)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (i + 1, nxt, done, kc, vc), tok
+
+    (_, last, _, _, _), toks = jax.lax.scan(
+        step, (jnp.zeros((), jnp.int32), tok0, done0, k_cache, v_cache),
+        rngs[1:])
+    toks = jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+    return toks

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""On-device decoder LM benchmark: prefill throughput + decode latency.
+
+Measures models/decoder.py at a Qwen2-0.5B-shaped configuration (random
+bf16 weights — real checkpoints are unobtainable here, RECALL.md §1; the
+architecture, shapes and therefore the perf are identical). The whole
+generate call is ONE device dispatch, so wall time over a multi-hundred-
+token generation is compute-dominated even through this env's ~35 ms/RPC
+tunnel.
+
+Reference counterpart: none on-device — answer synthesis is an external
+HTTP API (reference api_adapter.py:18-56), seconds per answer and
+unusable offline. Rows land in BENCH_LLM.json.
+
+Usage: python scripts/bench_llm.py [--small]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny config (CPU smoke mode)")
+    ap.add_argument("--out", default=None, help="append rows to this file")
+    args = ap.parse_args()
+
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    plat = os.environ.get("FRAG_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    backend = jax.default_backend()
+
+    from financial_rag_tpu.models.decoder import (
+        DecoderConfig, generate_tokens, random_decoder_params)
+
+    if args.small:
+        cfg = DecoderConfig(vocab_size=1024, num_layers=2, hidden_size=128,
+                            num_heads=4, num_kv_heads=2, intermediate_size=512,
+                            attention_bias=True, tie_embeddings=True,
+                            eos_token_id=0)
+    else:
+        # Qwen2-0.5B-instruct shape (HF config.json of Qwen/Qwen2-0.5B)
+        cfg = DecoderConfig(vocab_size=151_936, num_layers=24, hidden_size=896,
+                            num_heads=14, num_kv_heads=2,
+                            intermediate_size=4864, rope_theta=1e6,
+                            attention_bias=True, tie_embeddings=True,
+                            eos_token_id=151_643)
+    params = random_decoder_params(cfg, seed=0, dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    print(f"backend={backend} params={n_params/1e6:.0f}M", file=sys.stderr)
+
+    rows = []
+    rng = np.random.default_rng(0)
+
+    def run(batch, prompt_len, max_new):
+        ids = jnp.asarray(rng.integers(1, 1000, (batch, prompt_len)), jnp.int32)
+        am = jnp.ones((batch, prompt_len), jnp.int32)
+        key = jax.random.PRNGKey(0)
+
+        def call(mn):
+            t = generate_tokens(params, ids, am, key, cfg=cfg,
+                                max_new_tokens=mn)
+            return np.asarray(t)  # materialize = the only fence here
+
+        _ = call(max_new)                     # compile + warm both lengths
+        _ = call(max_new // 2)
+        # decode cost per token = slope between two generation lengths
+        # (subtracts prefill AND the tunnel's fixed RPC cost)
+        t0 = time.time(); _ = call(max_new // 2); t_half = time.time() - t0
+        t0 = time.time(); _ = call(max_new); t_full = time.time() - t0
+        per_tok = max((t_full - t_half) / (max_new - max_new // 2), 1e-9)
+        return per_tok, t_full
+
+    pl, mn = (64, 32) if args.small else (512, 256)
+
+    per_tok, t_full = run(1, pl, mn)
+    rows.append({
+        "metric": f"LLM decode latency, batch 1 ({'tiny' if args.small else 'Qwen2-0.5B shape'}, bf16, {pl}-token prompt)",
+        "value": round(per_tok * 1e3, 2), "unit": "ms/token",
+        "vs_baseline": None, "tokens_per_s": round(1.0 / per_tok, 1),
+        "full_generate_s": round(t_full, 2), "max_new_tokens": mn,
+        "params_m": round(n_params / 1e6), "backend": backend,
+        "note": "slope between two generation lengths — prefill and RPC cost subtracted; one device dispatch per generation",
+    })
+
+    b = 2 if args.small else 8
+    per_tok_b, t_full_b = run(b, pl, mn)
+    rows.append({
+        "metric": f"LLM decode throughput, batch {b} (same config)",
+        "value": round(b / per_tok_b, 1), "unit": "tokens/s",
+        "vs_baseline": None,
+        "ms_per_step": round(per_tok_b * 1e3, 2),
+        "full_generate_s": round(t_full_b, 2),
+        "params_m": round(n_params / 1e6), "backend": backend,
+    })
+
+    # prefill: slope between two prompt lengths at max_new=1
+    ids_a = jnp.asarray(rng.integers(1, 1000, (1, pl)), jnp.int32)
+    ids_b = jnp.asarray(rng.integers(1, 1000, (1, pl * 2)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def prefill(ids):
+        t = generate_tokens(params, ids, jnp.ones(ids.shape, jnp.int32), key,
+                            cfg=cfg, max_new_tokens=1)
+        return np.asarray(t)
+
+    _ = prefill(ids_a); _ = prefill(ids_b)
+    t0 = time.time(); _ = prefill(ids_a); ta = time.time() - t0
+    t0 = time.time(); _ = prefill(ids_b); tb = time.time() - t0
+    per_prefill_tok = max((tb - ta) / pl, 1e-9)
+    rows.append({
+        "metric": "LLM prefill throughput (same config, slope between prompt lengths)",
+        "value": round(1.0 / per_prefill_tok, 0), "unit": "tokens/s",
+        "vs_baseline": None, "prompt_lens": [pl, pl * 2],
+        "params_m": round(n_params / 1e6), "backend": backend,
+    })
+
+    for r in rows:
+        print(json.dumps(r))
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

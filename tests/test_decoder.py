@@ -1,0 +1,251 @@
+"""Decoder LM parity vs torch/transformers and generation invariants.
+
+The decoder (models/decoder.py) is this framework's on-device replacement
+for the reference's external-LLM answer synthesis (reference
+api_adapter.py:18-56). Parity here is against the HF implementations of
+the SAME architectures its checkpoints come from (Qwen2/Llama), so a real
+downloaded checkpoint is guaranteed bit-compatible modulo float order.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from financial_rag_tpu.models.decoder import (  # noqa: E402
+    DecoderConfig,
+    decoder_forward,
+    decoder_params_from_torch_state_dict,
+    generate_tokens,
+    random_decoder_params,
+)
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_qwen2():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    hf_cfg = Qwen2Config(
+        vocab_size=211, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, eos_token_id=5,
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig.from_hf_config(hf_cfg.to_dict())
+    params = decoder_params_from_torch_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def _tiny_llama():
+    from transformers import LlamaConfig, LlamaForCausalLM
+    hf_cfg = LlamaConfig(
+        vocab_size=173, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=True, eos_token_id=3,
+        attention_bias=False, attention_dropout=0.0)
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig.from_hf_config(hf_cfg.to_dict())
+    params = decoder_params_from_torch_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+class TestLogitsParity:
+    def test_qwen2_logits_match_transformers(self):
+        """GQA + qkv biases + untied head (Qwen2ForCausalLM)."""
+        model, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, cfg.vocab_size, (2, 11))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids)).logits.numpy()
+        got = np.asarray(decoder_forward(params, jnp.asarray(ids, jnp.int32), cfg))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+    def test_llama_tied_embeddings_logits_match(self):
+        """MHA + no biases + tied lm_head (LlamaForCausalLM)."""
+        model, cfg, params = _tiny_llama()
+        assert cfg.tie_embeddings and not cfg.attention_bias
+        rng = np.random.default_rng(1)
+        ids = rng.integers(1, cfg.vocab_size, (1, 17))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids)).logits.numpy()
+        got = np.asarray(decoder_forward(params, jnp.asarray(ids, jnp.int32), cfg))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+    def test_left_padded_batch_matches_transformers(self):
+        """Left padding (the serving batching layout) must not shift RoPE."""
+        model, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(2)
+        ids = rng.integers(1, cfg.vocab_size, (2, 10))
+        am = np.ones((2, 10), np.int64)
+        am[0, :4] = 0
+        with torch.no_grad():
+            ref = model(torch.tensor(ids), attention_mask=torch.tensor(am)).logits.numpy()
+        got = np.asarray(decoder_forward(
+            params, jnp.asarray(ids, jnp.int32), cfg, jnp.asarray(am, jnp.int32)))
+        # compare only real-token positions (pad rows differ by convention)
+        np.testing.assert_allclose(got[0, 4:], ref[0, 4:], atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(got[1], ref[1], atol=2e-4, rtol=2e-3)
+
+
+class TestGeneration:
+    def test_greedy_matches_transformers_generate(self):
+        model, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, cfg.vocab_size, (2, 8))
+        with torch.no_grad():
+            ref = model.generate(
+                torch.tensor(ids), max_new_tokens=10, do_sample=False,
+                eos_token_id=None, pad_token_id=0).numpy()[:, 8:]
+        got = np.asarray(generate_tokens(
+            params, jnp.asarray(ids, jnp.int32), jnp.ones((2, 8), jnp.int32),
+            jax.random.PRNGKey(0), cfg=cfg, max_new_tokens=10))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_greedy_with_left_padding_matches(self):
+        model, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(4)
+        ids = rng.integers(1, cfg.vocab_size, (2, 9))
+        am = np.ones((2, 9), np.int64)
+        ids[1, :3] = 0
+        am[1, :3] = 0
+        with torch.no_grad():
+            ref = model.generate(
+                torch.tensor(ids), attention_mask=torch.tensor(am),
+                max_new_tokens=7, do_sample=False,
+                eos_token_id=None, pad_token_id=0).numpy()[:, 9:]
+        got = np.asarray(generate_tokens(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(am, jnp.int32),
+            jax.random.PRNGKey(0), cfg=cfg, max_new_tokens=7))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_decode_steps_consistent_with_full_forward(self):
+        """KV-cache decode must reproduce the no-cache forward's argmaxes."""
+        cfg = DecoderConfig(vocab_size=131, num_layers=2, hidden_size=32,
+                            num_heads=4, num_kv_heads=2, intermediate_size=64,
+                            attention_bias=True, eos_token_id=0)
+        params = random_decoder_params(cfg, seed=7)
+        ids = np.random.default_rng(5).integers(1, 131, (1, 6))
+        toks = np.asarray(generate_tokens(
+            params, jnp.asarray(ids, jnp.int32), jnp.ones((1, 6), jnp.int32),
+            jax.random.PRNGKey(0), cfg=cfg, max_new_tokens=5))[0]
+        # replay: greedy from full forwards over the growing sequence
+        seq = list(ids[0])
+        for expect in toks:
+            logits = decoder_forward(
+                params, jnp.asarray([seq], jnp.int32), cfg)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            assert nxt == int(expect)
+            seq.append(nxt)
+
+    def test_eos_rows_keep_emitting_eos(self):
+        """Once a row hits eos its tail is all eos, so host-side trimming is
+        independent of max_new_tokens."""
+        cfg = DecoderConfig(vocab_size=29, num_layers=1, hidden_size=16,
+                            num_heads=2, num_kv_heads=2, intermediate_size=32,
+                            eos_token_id=11)
+        params = random_decoder_params(cfg, seed=0)
+        ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+        short = np.asarray(generate_tokens(
+            params, ids, jnp.ones((1, 3), jnp.int32), jax.random.PRNGKey(1),
+            cfg=cfg, max_new_tokens=4))[0]
+        long = np.asarray(generate_tokens(
+            params, ids, jnp.ones((1, 3), jnp.int32), jax.random.PRNGKey(1),
+            cfg=cfg, max_new_tokens=12))[0]
+
+        def trim(t):
+            t = list(t)
+            return t[:t.index(cfg.eos_token_id)] if cfg.eos_token_id in t else t
+
+        assert trim(long)[:len(trim(short))] == trim(short)
+        if cfg.eos_token_id in list(long):
+            i = list(long).index(cfg.eos_token_id)
+            assert all(x == cfg.eos_token_id for x in long[i:])
+
+    def test_sampling_deterministic_in_seed(self):
+        cfg = DecoderConfig(vocab_size=53, num_layers=1, hidden_size=16,
+                            num_heads=2, num_kv_heads=1, intermediate_size=32,
+                            eos_token_id=0)
+        params = random_decoder_params(cfg, seed=3)
+        ids = jnp.asarray([[4, 9, 2]], jnp.int32)
+        am = jnp.ones((1, 3), jnp.int32)
+        a = np.asarray(generate_tokens(params, ids, am, jax.random.PRNGKey(9),
+                                       cfg=cfg, max_new_tokens=8,
+                                       temperature=0.8, top_k=10))
+        b = np.asarray(generate_tokens(params, ids, am, jax.random.PRNGKey(9),
+                                       cfg=cfg, max_new_tokens=8,
+                                       temperature=0.8, top_k=10))
+        c = np.asarray(generate_tokens(params, ids, am, jax.random.PRNGKey(10),
+                                       cfg=cfg, max_new_tokens=8,
+                                       temperature=0.8, top_k=10))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c) or True  # different seed may collide
+
+
+class TestLocalLLMProvider:
+    """End-to-end: HF checkpoint dir on disk -> LocalLLM -> synthesize_answer."""
+
+    @pytest.fixture(scope="class")
+    def checkpoint_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("tiny_llm")
+        model, cfg, _ = _tiny_qwen2()
+        model.save_pretrained(str(d))          # config.json + model.safetensors
+        from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+        vocab = {f"w{i}": i for i in range(200)}
+        vocab.update({"<unk>": 200, "<|im_start|>": 201, "<|im_end|>": 202})
+        tok = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        tok.save(str(d / "tokenizer.json"))
+        (d / "tokenizer_config.json").write_text(
+            '{"chat_template": "{% for m in messages %}<|im_start|>..."}')
+        return str(d)
+
+    def test_provider_loads_and_generates(self, checkpoint_dir):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        llm = LocalLLM(model_dir=checkpoint_dir, dtype="float32")
+        assert llm.available()
+        assert llm._chat == "chatml"
+        out = llm.generate("w1 w2 w3 what is the rent", max_tokens=8)
+        # random weights -> arbitrary tokens, but the call must return text
+        # (or None only if the first token was eos)
+        assert out is None or isinstance(out, str)
+
+    def test_generate_is_deterministic(self, checkpoint_dir):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        llm = LocalLLM(model_dir=checkpoint_dir, dtype="float32")
+        a = llm.generate("w4 w5 w6", max_tokens=8)
+        b = llm.generate("w4 w5 w6", max_tokens=8)
+        assert a == b
+
+    def test_get_provider_selects_local(self, checkpoint_dir, monkeypatch):
+        monkeypatch.setenv("LLM_PROVIDER", "local")
+        monkeypatch.setenv("LLM_CHECKPOINT", checkpoint_dir)
+        from financial_rag_tpu.config import LLMConfig
+        from financial_rag_tpu.llm import LocalLLM, get_provider
+        provider = get_provider(LLMConfig())
+        assert isinstance(provider, LocalLLM)
+
+    def test_synthesize_answer_uses_local_llm(self, checkpoint_dir):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        from financial_rag_tpu.llm.provider import synthesize_answer
+        llm = LocalLLM(model_dir=checkpoint_dir, dtype="float32")
+        parents = [{"content": "w7 w8 the rent is w9"}]
+        ans = synthesize_answer(llm, "w1 w2", parents)
+        assert isinstance(ans, str) and ans
+        # with a working on-device LLM the degradation prefix must be absent
+        # unless generation produced nothing (eos-first with random weights)
+        if llm.generate("w1 w2", max_tokens=8):
+            assert not ans.startswith("LLM unavailable")
+
+    def test_missing_checkpoint_degrades_not_crashes(self, tmp_path):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        from financial_rag_tpu.llm.provider import synthesize_answer
+        llm = LocalLLM(model_dir=str(tmp_path / "nope"))
+        assert not llm.available()
+        ans = synthesize_answer(llm, "q", [{"content": "ctx"}])
+        assert ans.startswith("LLM unavailable")
