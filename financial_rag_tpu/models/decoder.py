@@ -365,3 +365,64 @@ def generate_tokens(params, input_ids, attention_mask, rng,
         rngs[1:])
     toks = jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
     return toks
+
+
+# ----------------------------------------------------- multi-chip sharding
+
+def shard_decoder_params(params, mesh, cfg: DecoderConfig,
+                         model_axis: str = "model"):
+    """Place the param pytree for tensor parallelism over ``model_axis``.
+
+    GSPMD recipe (scaling-book style): annotate the weights, reuse the SAME
+    jitted ``generate_tokens`` — XLA inserts the collectives. Layout is the
+    Megatron split: q/k/v and gate/up shard their OUTPUT features (heads /
+    ffn columns), o and down shard their INPUT features, so each layer
+    needs one all-reduce after attention and one after the FFN. The
+    lm_head shards its vocab rows (the [B,1,V] decode logits gather over
+    ICI is trivial). kv heads must divide the axis size — asserted — so
+    GQA groups stay device-local.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tp = mesh.shape[model_axis]
+    assert cfg.num_kv_heads % tp == 0, (
+        f"num_kv_heads={cfg.num_kv_heads} not divisible by {model_axis}={tp}")
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    specs = {
+        "embed": ns(),                                # gathered by token id
+        "final_ln": ns(),
+        "layers": {
+            "ln1": ns(), "ln2": ns(),
+            "q_w": ns(None, None, model_axis),
+            "k_w": ns(None, None, model_axis),
+            "v_w": ns(None, None, model_axis),
+            "o_w": ns(None, model_axis, None),
+            "gate_w": ns(None, None, model_axis),
+            "up_w": ns(None, None, model_axis),
+            "down_w": ns(None, model_axis, None),
+        },
+    }
+    if cfg.attention_bias:
+        specs["layers"].update({
+            "q_b": ns(None, model_axis),
+            "k_b": ns(None, model_axis),
+            "v_b": ns(None, model_axis),
+        })
+    if not cfg.tie_embeddings:
+        # vocab rows when they divide evenly (they do for real checkpoints;
+        # Qwen2's 151,936 = 2^7 x 1187), else replicate
+        specs["lm_head"] = (ns(model_axis, None)
+                            if cfg.vocab_size % tp == 0 else ns())
+    return jax.tree.map(jax.device_put, params, specs)
+
+
+def shard_decoder_inputs(input_ids, attention_mask, mesh,
+                         data_axis: str = "data"):
+    """Batch-shard prompts over ``data_axis`` (replicated over model)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P(data_axis, None))
+    return jax.device_put(input_ids, s), jax.device_put(attention_mask, s)

@@ -458,3 +458,39 @@ def test_contrastive_training_improves_heldout_retrieval():
     assert rep["recall_after"] >= 0.75, rep    # decisive learned retrieval
     assert rep["uplift"] >= 0.5, rep
     assert rep["final_loss"] < 0.5, rep
+
+
+def test_decoder_tp_generation_matches_single_device():
+    """GSPMD tensor-parallel generation (models/decoder.py
+    shard_decoder_params: Megatron split over "model", batch over "data")
+    must emit token-identical output to the unsharded path — the invariant
+    dryrun_multichip asserts on every driver run."""
+    import jax
+    import jax.numpy as jnp
+
+    from financial_rag_tpu.models.decoder import (
+        DecoderConfig, generate_tokens, random_decoder_params,
+        shard_decoder_inputs, shard_decoder_params)
+    from financial_rag_tpu.parallel.mesh import make_mesh
+
+    cfg = DecoderConfig(vocab_size=128, num_layers=2, hidden_size=32,
+                        num_heads=4, num_kv_heads=2, intermediate_size=64,
+                        attention_bias=True, eos_token_id=0)
+    params = random_decoder_params(cfg, seed=0)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 128, (4, 9)),
+                      jnp.int32)
+    am = jnp.ones((4, 9), jnp.int32)
+    ref = np.asarray(generate_tokens(params, ids, am, jax.random.PRNGKey(0),
+                                     cfg=cfg, max_new_tokens=6))
+    mesh = make_mesh([("data", -1), ("model", 2)])
+    got = np.asarray(generate_tokens(
+        shard_decoder_params(params, mesh, cfg),
+        *shard_decoder_inputs(ids, am, mesh),
+        jax.random.PRNGKey(0), cfg=cfg, max_new_tokens=6))
+    np.testing.assert_array_equal(got, ref)
+
+    # tp must reject a kv-head count it can't split
+    bad = DecoderConfig(vocab_size=128, num_layers=1, hidden_size=32,
+                        num_heads=4, num_kv_heads=1, intermediate_size=64)
+    with pytest.raises(AssertionError):
+        shard_decoder_params(random_decoder_params(bad, 0), mesh, bad)
