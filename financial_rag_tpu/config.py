@@ -195,6 +195,8 @@ class LLMConfig:
     # checkpoint directory; LLM_PROVIDER=local selects it
     local_checkpoint: Optional[str] = field(default_factory=lambda: _env("LLM_CHECKPOINT", None, str))
     local_max_new_tokens: int = field(default_factory=lambda: _env("LLM_MAX_NEW_TOKENS", 256, int))
+    # "bfloat16" | "int8" (weight-only, ~2x decode bandwidth) | "float32"
+    local_dtype: str = field(default_factory=lambda: _env("LLM_DTYPE", "bfloat16", str))
 
 
 @dataclass

@@ -70,11 +70,12 @@ class LocalLLM:
     name = "local"
 
     def __init__(self, cfg: Optional[LLMConfig] = None,
-                 model_dir: Optional[str] = None, dtype: str = "bfloat16",
+                 model_dir: Optional[str] = None, dtype: Optional[str] = None,
                  max_prompt_tokens: int = 2048) -> None:
         self.cfg = cfg or LLMConfig()
         self.model_dir = Path(model_dir or self.cfg.local_checkpoint or "")
-        self.dtype = dtype
+        # "bfloat16" (default) | "int8" (weight-only) | "float32"
+        self.dtype = dtype or self.cfg.local_dtype
         self.max_prompt_tokens = max_prompt_tokens
         self._lock = threading.Lock()
         self._loaded = False
@@ -111,9 +112,12 @@ class LocalLLM:
         hf_cfg = json.loads((self.model_dir / "config.json").read_text())
         self._dcfg = DecoderConfig.from_hf_config(hf_cfg)
         sd = _load_state_dict(self.model_dir)
-        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        dtype = jnp.float32 if self.dtype == "float32" else jnp.bfloat16
         self._params = decoder_params_from_torch_state_dict(
             sd, self._dcfg, dtype=dtype)
+        if self.dtype == "int8":   # weight-only quant: ~2x decode bandwidth
+            from financial_rag_tpu.models.decoder import quantize_decoder_params
+            self._params = quantize_decoder_params(self._params)
 
         from tokenizers import Tokenizer
         self._tok = Tokenizer.from_file(str(self.model_dir / "tokenizer.json"))

@@ -159,7 +159,47 @@ def decoder_params_from_torch_state_dict(
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 
+def quantize_decoder_params(params) -> Dict[str, Any]:
+    """Weight-only int8 (symmetric, per-output-channel) for decode bandwidth.
+
+    Decode is weight-read-bound: every generated token streams every matmul
+    weight from HBM. int8 halves those bytes vs bf16; the int8->bf16
+    convert happens in VMEM (XLA fuses it into the dot), so the MXU still
+    sees bf16. Matmul weights become ``{"q": int8 [..., in, out],
+    "s": f32 [..., out]}``; embeddings, norms and biases stay as-is (the
+    embed table is a gather on input and, when tied, the OUTPUT head —
+    quantizing it costs accuracy where logits are most sensitive).
+    """
+
+    def quant(w):
+        wf = np.asarray(w, np.float32)
+        s = np.max(np.abs(wf), axis=-2, keepdims=True) / 127.0   # per out-col
+        s = np.maximum(s, 1e-8)
+        q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
+        return {"q": jnp.asarray(q), "s": jnp.asarray(np.squeeze(s, -2))}
+
+    out = {k: v for k, v in params.items() if k != "layers" and k != "lm_head"}
+    out["layers"] = {
+        k: (quant(v) if k.endswith("_w") else v)
+        for k, v in params["layers"].items()
+    }
+    if "lm_head" in params:
+        # lm_head is [V, H]: contract over H (the last axis) — per-vocab-row
+        wf = np.asarray(params["lm_head"], np.float32)
+        s = np.maximum(np.max(np.abs(wf), axis=-1, keepdims=True) / 127.0, 1e-8)
+        q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
+        out["lm_head"] = {"q": jnp.asarray(q), "s": jnp.asarray(s[..., 0])}
+    return out
+
+
 # ----------------------------------------------------------------- forward
+
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w for plain or weight-only-int8 quantized weights."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w
+
 
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
@@ -201,9 +241,9 @@ def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
     """
     b, s, _ = x.shape
     h = _rms_norm(x, lp["ln1"], cfg.norm_eps)
-    q = h @ lp["q_w"]
-    k = h @ lp["k_w"]
-    v = h @ lp["v_w"]
+    q = _mm(h, lp["q_w"])
+    k = _mm(h, lp["k_w"])
+    v = _mm(h, lp["v_w"])
     if cfg.attention_bias:
         q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -214,15 +254,18 @@ def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
     k_all = jnp.concatenate([k_cache, k_new], axis=1) if k_cache.shape[1] else k_new
     v_all = jnp.concatenate([v_cache, v], axis=1) if v_cache.shape[1] else v
     attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
-    x = x + attn @ lp["o_w"]
+    x = x + _mm(attn, lp["o_w"])
     h = _rms_norm(x, lp["ln2"], cfg.norm_eps)
-    ff = (jax.nn.silu(h @ lp["gate_w"]) * (h @ lp["up_w"])) @ lp["down_w"]
+    ff = _mm(jax.nn.silu(_mm(h, lp["gate_w"])) * _mm(h, lp["up_w"]), lp["down_w"])
     return x + ff, k_new, v
 
 
 def _logits(params, x, cfg: DecoderConfig):
     x = _rms_norm(x, params["final_ln"], cfg.norm_eps)
     head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
+    if isinstance(head, dict):   # int8 per-vocab-row
+        raw = jnp.einsum("bsh,vh->bsv", x, head["q"].astype(x.dtype))
+        return (raw * head["s"].astype(x.dtype)).astype(jnp.float32)
     return jnp.einsum("bsh,vh->bsv", x, head).astype(jnp.float32)
 
 
@@ -294,9 +337,9 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
     def body2(h, xs):
         lp, kc, vc = xs
         hh = _rms_norm(h, lp["ln1"], cfg.norm_eps)
-        q = hh @ lp["q_w"]
-        k = hh @ lp["k_w"]
-        v = hh @ lp["v_w"]
+        q = _mm(hh, lp["q_w"])
+        k = _mm(hh, lp["k_w"])
+        v = _mm(hh, lp["v_w"])
         if cfg.attention_bias:
             q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
         q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
@@ -307,9 +350,10 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot, axis=1)
         attn = _attend(q, kc, vc, mask, cfg).reshape(b, 1, cfg.hidden_size)
-        h = h + attn @ lp["o_w"]
+        h = h + _mm(attn, lp["o_w"])
         hh = _rms_norm(h, lp["ln2"], cfg.norm_eps)
-        ff = (jax.nn.silu(hh @ lp["gate_w"]) * (hh @ lp["up_w"])) @ lp["down_w"]
+        ff = _mm(jax.nn.silu(_mm(hh, lp["gate_w"])) * _mm(hh, lp["up_w"]),
+                 lp["down_w"])
         return h + ff, (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(body2, x,

@@ -57,14 +57,16 @@ def main():
                             intermediate_size=4864, rope_theta=1e6,
                             attention_bias=True, tie_embeddings=True,
                             eos_token_id=151_643)
-    params = random_decoder_params(cfg, seed=0, dtype=jnp.bfloat16)
-    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    from financial_rag_tpu.models.decoder import quantize_decoder_params
+
+    params_bf16 = random_decoder_params(cfg, seed=0, dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params_bf16))
     print(f"backend={backend} params={n_params/1e6:.0f}M", file=sys.stderr)
 
     rows = []
     rng = np.random.default_rng(0)
 
-    def run(batch, prompt_len, max_new):
+    def run(batch, prompt_len, max_new, params):
         ids = jnp.asarray(rng.integers(1, 1000, (batch, prompt_len)), jnp.int32)
         am = jnp.ones((batch, prompt_len), jnp.int32)
         key = jax.random.PRNGKey(0)
@@ -85,7 +87,7 @@ def main():
 
     pl, mn = (64, 32) if args.small else (512, 256)
 
-    per_tok, t_full = run(1, pl, mn)
+    per_tok, t_full = run(1, pl, mn, params_bf16)
     rows.append({
         "metric": f"LLM decode latency, batch 1 ({'tiny' if args.small else 'Qwen2-0.5B shape'}, bf16, {pl}-token prompt)",
         "value": round(per_tok * 1e3, 2), "unit": "ms/token",
@@ -95,8 +97,20 @@ def main():
         "note": "slope between two generation lengths — prefill and RPC cost subtracted; one device dispatch per generation",
     })
 
+    params_int8 = quantize_decoder_params(params_bf16)
+    per_tok_q, t_full_q = run(1, pl, mn, params_int8)
+    rows.append({
+        "metric": "LLM decode latency, batch 1, int8 weight-only (same config)",
+        "value": round(per_tok_q * 1e3, 2), "unit": "ms/token",
+        "vs_baseline": round(per_tok / per_tok_q, 2),
+        "tokens_per_s": round(1.0 / per_tok_q, 1),
+        "full_generate_s": round(t_full_q, 2),
+        "params_m": round(n_params / 1e6), "backend": backend,
+        "note": "vs_baseline = bf16 ms/token over int8 ms/token (weight-read bound)",
+    })
+
     b = 2 if args.small else 8
-    per_tok_b, t_full_b = run(b, pl, mn)
+    per_tok_b, t_full_b = run(b, pl, mn, params_bf16)
     rows.append({
         "metric": f"LLM decode throughput, batch {b} (same config)",
         "value": round(b / per_tok_b, 1), "unit": "tokens/s",
@@ -112,7 +126,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def prefill(ids):
-        t = generate_tokens(params, ids, jnp.ones(ids.shape, jnp.int32), key,
+        t = generate_tokens(params_bf16, ids, jnp.ones(ids.shape, jnp.int32), key,
                             cfg=cfg, max_new_tokens=1)
         return np.asarray(t)
 

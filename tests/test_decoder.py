@@ -249,3 +249,54 @@ class TestLocalLLMProvider:
         assert not llm.available()
         ans = synthesize_answer(llm, "q", [{"content": "ctx"}])
         assert ans.startswith("LLM unavailable")
+
+
+class TestInt8WeightOnly:
+    def test_quantized_logits_close_and_greedy_stable(self):
+        from financial_rag_tpu.models.decoder import quantize_decoder_params
+        cfg = DecoderConfig(vocab_size=97, num_layers=2, hidden_size=32,
+                            num_heads=4, num_kv_heads=2, intermediate_size=64,
+                            attention_bias=True, eos_token_id=0)
+        p = random_decoder_params(cfg, 0)
+        pq = quantize_decoder_params(p)
+        # matmul weights shrink to int8; norms/biases/embed untouched
+        assert pq["layers"]["q_w"]["q"].dtype == jnp.int8
+        assert pq["layers"]["ln1"].dtype == p["layers"]["ln1"].dtype
+        assert pq["lm_head"]["q"].dtype == jnp.int8
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 97, (2, 9)),
+                          jnp.int32)
+        lf = decoder_forward(p, ids, cfg)
+        lq = decoder_forward(pq, ids, cfg)
+        # per-channel symmetric int8: sub-1% of the logit scale
+        assert float(jnp.max(jnp.abs(lf - lq))) < 0.01 * float(jnp.max(jnp.abs(lf)) + 1e-6) + 5e-3
+        am = jnp.ones((2, 9), jnp.int32)
+        tf = np.asarray(generate_tokens(p, ids, am, jax.random.PRNGKey(0),
+                                        cfg=cfg, max_new_tokens=6))
+        tq = np.asarray(generate_tokens(pq, ids, am, jax.random.PRNGKey(0),
+                                        cfg=cfg, max_new_tokens=6))
+        np.testing.assert_array_equal(tf, tq)
+
+    def test_tied_embeddings_head_stays_unquantized(self):
+        from financial_rag_tpu.models.decoder import quantize_decoder_params
+        cfg = DecoderConfig(vocab_size=64, num_layers=1, hidden_size=16,
+                            num_heads=2, num_kv_heads=2, intermediate_size=32,
+                            tie_embeddings=True, eos_token_id=0)
+        pq = quantize_decoder_params(random_decoder_params(cfg, 0))
+        assert "lm_head" not in pq
+        assert pq["embed"].dtype != jnp.int8   # gather + output head: full precision
+
+    def test_local_llm_int8_dtype(self, tmp_path):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        model, cfg, _ = _tiny_qwen2()
+        model.save_pretrained(str(tmp_path))
+        from tokenizers import Tokenizer, models as tm, pre_tokenizers
+        vocab = {f"w{i}": i for i in range(200)}
+        vocab["<unk>"] = 200
+        tok = Tokenizer(tm.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        tok.save(str(tmp_path / "tokenizer.json"))
+        llm = LocalLLM(model_dir=str(tmp_path), dtype="int8")
+        assert llm.available()
+        assert llm._params["layers"]["q_w"]["q"].dtype == jnp.int8
+        out = llm.generate("w3 w4 w5", max_tokens=8)
+        assert out is None or isinstance(out, str)
