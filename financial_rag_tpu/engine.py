@@ -16,7 +16,12 @@ from typing import List, Optional
 
 from financial_rag_tpu.config import FrameworkConfig
 from financial_rag_tpu.llm.prompts import build_answer_prompt
-from financial_rag_tpu.llm.provider import LLMProvider, NullLLM, synthesize_answer
+from financial_rag_tpu.llm.provider import (
+    LLMProvider,
+    NullLLM,
+    stream_answer,
+    synthesize_answer,
+)
 from financial_rag_tpu.retrieval.filters import build_filter, passes_filter
 from financial_rag_tpu.retrieval.hybrid import HybridRetriever
 from financial_rag_tpu.retrieval.rerank import CrossEncoderReranker
@@ -131,7 +136,19 @@ class RAGEngine:
                 yield "complete", ctx["no_match"]
                 return
             yield "chunks", self._ui_children(ctx["top_children"], {})
-            result = self._finish_phase(question, ctx, session_id=session_id, start=start)
+            # progressive answer: providers that can stream (on-device
+            # LocalLLM segments) yield text deltas before the final result;
+            # non-streaming providers fall through untouched
+            parents = self._gather_parents(ctx)
+            deltas: List[str] = []
+            for delta in stream_answer(self.llm, question, parents,
+                                       related_queries=ctx["queries"][1:]):
+                deltas.append(delta)
+                yield "answer_delta", delta
+            streamed = "".join(deltas).strip()
+            result = self._finish_phase(question, ctx, session_id=session_id,
+                                        start=start, parents=parents,
+                                        answer=streamed or None)
             yield "complete", result
         except Exception as e:  # noqa: BLE001 — stream errors become a result
             log.exception("streaming RAG query failed")
@@ -210,25 +227,35 @@ class RAGEngine:
             return ctx["no_match"]
         return self._finish_phase(question, ctx, session_id=session_id, start=start)
 
-    def _finish_phase(self, question: str, ctx: dict, *, session_id: Optional[str],
-                      start: float) -> dict:
-        top_parents_n = self.cfg.retrieval.top_parents
-        strategy, queries, f = ctx["strategy"], ctx["queries"], ctx["filter"]
-        child_chunks, child_parent = ctx["child_chunks"], ctx["child_parent"]
-        top_children, child_score = ctx["top_children"], ctx["child_score"]
-
-        # ordered parent dedup (reference rag_backend.py:1091-1104)
+    def _gather_parents(self, ctx: dict) -> list:
+        """Ordered parent dedup + fetch (reference rag_backend.py:1091-1104)."""
+        child_parent, top_children = ctx["child_parent"], ctx["top_children"]
         parent_ids: List[int] = []
         for c in top_children:
             pid = c.get("parent_id") or child_parent.get(c.get("child_id"))
             if pid is not None and pid not in parent_ids:
                 parent_ids.append(pid)
         with time_block("engine.parents"):
-            parents = self.parent_store.get_parents_by_ids(parent_ids[:top_parents_n])
+            return self.parent_store.get_parents_by_ids(
+                parent_ids[:self.cfg.retrieval.top_parents])
+
+    def _finish_phase(self, question: str, ctx: dict, *, session_id: Optional[str],
+                      start: float, parents: Optional[list] = None,
+                      answer: Optional[str] = None) -> dict:
+        """``parents``/``answer`` may be precomputed by the streaming path
+        (query_stream yields answer deltas first, then reuses them here)."""
+        strategy, queries, f = ctx["strategy"], ctx["queries"], ctx["filter"]
+        child_chunks, child_parent = ctx["child_chunks"], ctx["child_parent"]
+        top_children, child_score = ctx["top_children"], ctx["child_score"]
+
+        if parents is None:
+            parents = self._gather_parents(ctx)
 
         prompt = build_answer_prompt(queries[0] if queries else question, parents,
                                      related_queries=queries[1:])
-        answer = synthesize_answer(self.llm, question, parents, related_queries=queries[1:])
+        if answer is None:
+            answer = synthesize_answer(self.llm, question, parents,
+                                       related_queries=queries[1:])
 
         processing_time = time.time() - start
         parent_chunks = [

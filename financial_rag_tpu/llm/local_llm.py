@@ -149,14 +149,8 @@ class LocalLLM:
             return f"[INST] {prompt} [/INST]"
         return prompt
 
-    def generate(self, prompt: str, *, max_tokens: int = 1024) -> Optional[str]:
-        if not self._ensure_loaded():
-            return None
-        import jax
-        import jax.numpy as jnp
-
-        from financial_rag_tpu.models.decoder import generate_tokens
-
+    def _prep(self, prompt: str):
+        """Tokenize + LEFT-pad to a static bucket -> (ids, mask) arrays."""
         enc = self._tok.encode(self._wrap(prompt))
         ids = list(enc.ids)[-self.max_prompt_tokens:]
         bucket = _bucket(len(ids), _PROMPT_BUCKETS)
@@ -165,6 +159,26 @@ class LocalLLM:
         mask = np.zeros((1, bucket), np.int32)
         input_ids[0, pad:] = ids                    # LEFT padding
         mask[0, pad:] = 1
+        return input_ids, mask
+
+    @staticmethod
+    def _clean(text: str) -> str:
+        # a chat turn ends at the template's end marker even if the model
+        # keeps going (no eos in the first max_new tokens)
+        for stop in ("<|im_end|>", "</s>", "[INST]"):
+            if stop in text:
+                text = text.split(stop, 1)[0]
+        return text
+
+    def generate(self, prompt: str, *, max_tokens: int = 1024) -> Optional[str]:
+        if not self._ensure_loaded():
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.models.decoder import generate_tokens
+
+        input_ids, mask = self._prep(prompt)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
         toks = generate_tokens(
             self._params, jnp.asarray(input_ids), jnp.asarray(mask),
@@ -173,10 +187,40 @@ class LocalLLM:
         out = np.asarray(toks)[0].tolist()
         if self._dcfg.eos_token_id in out:
             out = out[:out.index(self._dcfg.eos_token_id)]
-        text = self._tok.decode(out, skip_special_tokens=True).strip()
-        # a chat turn ends at the template's end marker even if the model
-        # keeps going (no eos in the first max_new tokens)
-        for stop in ("<|im_end|>", "</s>", "[INST]"):
-            if stop in text:
-                text = text.split(stop, 1)[0].strip()
+        text = self._clean(self._tok.decode(out, skip_special_tokens=True)).strip()
         return text or None
+
+    def generate_stream(self, prompt: str, *, max_tokens: int = 1024,
+                        segment: int = 48):
+        """Yield text deltas. Token stream is identical to generate()'s
+        (greedy, same rng scheme); each segment is one device dispatch, so
+        the first words appear after prefill + one segment instead of the
+        whole generation."""
+        if not self._ensure_loaded():
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.models.decoder import generate_stream
+
+        input_ids, mask = self._prep(prompt)
+        max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        toks: list = []
+        emitted = ""
+        for block in generate_stream(
+                self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+                jax.random.PRNGKey(0), cfg=self._dcfg,
+                max_new_tokens=max_new, segment=segment, temperature=0.0):
+            row = block[0].tolist()
+            stop = self._dcfg.eos_token_id in row
+            if stop:
+                row = row[:row.index(self._dcfg.eos_token_id)]
+            toks.extend(row)
+            # re-decode the full prefix: BPE merges can span block borders
+            raw = self._tok.decode(toks, skip_special_tokens=True)
+            text = self._clean(raw)
+            if len(text) > len(emitted):
+                yield text[len(emitted):]
+                emitted = text
+            if stop or text != raw:   # eos, or a stop marker ended the turn
+                return

@@ -66,6 +66,23 @@ def normalize_query(provider: LLMProvider, question: str) -> List[str]:
     return queries
 
 
+def stream_answer(provider: LLMProvider, question: str, parents,
+                  related_queries=()):
+    """Generator of answer text deltas, for providers that can stream
+    (LocalLLM's segmented on-device generation). Yields nothing when the
+    provider can't stream or fails — callers then fall back to
+    synthesize_answer, preserving the degradation contract."""
+    gen = getattr(provider, "generate_stream", None)
+    if gen is None or not provider.available() or not parents:
+        return
+    prompt = build_answer_prompt(question, parents, related_queries)
+    try:
+        yield from gen(prompt, max_tokens=1024)
+    except Exception as e:  # noqa: BLE001 — stream failure degrades
+        log.warning("LLM stream from %s failed: %s",
+                    getattr(provider, "name", "?"), e)
+
+
 def synthesize_answer(provider: LLMProvider, question: str, parents, related_queries=()) -> str:
     """Answer from parent contexts; degrades to concatenated context."""
     prompt = build_answer_prompt(question, parents, related_queries)

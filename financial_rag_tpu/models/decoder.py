@@ -411,6 +411,109 @@ def generate_tokens(params, input_ids, attention_mask, rng,
     return toks
 
 
+# ------------------------------------------------------------- streaming
+
+def _gen_scan(params, state, rngs, cfg: DecoderConfig,
+              temperature: float, top_k: int):
+    """Advance the generation state by len(rngs) decode steps.
+
+    state: {g, tok, done, kc, vc, pos0, pm, slot0} — tok is the last
+    sampled-but-not-yet-fed token; ys are the newly sampled tokens, so
+    chaining segments reproduces the one-shot token sequence exactly
+    (same per-step rng stream).
+    """
+    pos0, pm, slot0 = state["pos0"], state["pm"], state["slot0"]
+
+    def step(carry, rng_i):
+        g, tok, done, kc, vc = carry
+        logits, kc, vc = _decode_one(params, tok, pos0 + g, slot0 + g,
+                                     kc, vc, pm, cfg)
+        nxt = _sample(logits, rng_i, temperature, top_k)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (g + 1, nxt, done, kc, vc), nxt
+
+    (g, tok, done, kc, vc), ys = jax.lax.scan(
+        step, (state["g"], state["tok"], state["done"],
+               state["kc"], state["vc"]), rngs)
+    new_state = dict(state, g=g, tok=tok, done=done, kc=kc, vc=vc)
+    return jnp.moveaxis(ys, 0, 1), new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
+def _gen_start(params, input_ids, attention_mask, rngs,
+               *, cfg: DecoderConfig, temperature: float, top_k: int):
+    """Prefill + the first len(rngs) tokens; returns (tokens, state).
+
+    The KV cache is sized for the WHOLE stream up front (prompt +
+    total_new, inferred from the prompt-mask the caller sizes), so later
+    segments never reallocate. Here total_new rides in via the rng count of
+    the first segment only; the caller passes total_new explicitly through
+    the cache by sizing rngs: see generate_stream.
+    """
+    b, s = input_ids.shape
+    seg, total_new = rngs.shape[0], rngs.shape[1]
+    rngs = rngs[:, 0]   # [seg, 2] keys padded on axis 1 to carry total_new
+    max_total = s + total_new
+    last_logits, kc, vc = _prefill(params, input_ids, attention_mask,
+                                   max_total, cfg)
+    pm = jnp.concatenate([attention_mask == 1,
+                          jnp.ones((b, total_new), bool)], axis=1)
+    tok0 = _sample(last_logits, rngs[0], temperature, top_k)
+    state = {
+        "g": jnp.zeros((), jnp.int32),
+        "tok": tok0,
+        "done": tok0 == cfg.eos_token_id,
+        "kc": kc, "vc": vc,
+        "pos0": jnp.sum(attention_mask, axis=1),
+        "pm": pm,
+        "slot0": jnp.int32(s),
+    }
+    ys, state = _gen_scan(params, state, rngs[1:], cfg, temperature, top_k)
+    return jnp.concatenate([tok0[:, None], ys], axis=1), state
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
+def _gen_more(params, state, rngs, *, cfg: DecoderConfig,
+              temperature: float, top_k: int):
+    return _gen_scan(params, state, rngs, cfg, temperature, top_k)
+
+
+def generate_stream(params, input_ids, attention_mask, rng,
+                    *, cfg: DecoderConfig, max_new_tokens: int,
+                    segment: int = 48, temperature: float = 0.0,
+                    top_k: int = 0):
+    """Yield [B, <=segment] int32 token blocks; concatenated output equals
+    ``generate_tokens`` exactly (same rng stream per step). Each block is
+    one device dispatch, so time-to-first-tokens ~= prefill + one segment
+    instead of the full generation. Stops early once every row has hit eos
+    (detected from the block itself — no extra device round-trip).
+    """
+    import math
+
+    b = input_ids.shape[0]
+    seg = max(1, min(segment, max_new_tokens))
+    n_seg = math.ceil(max_new_tokens / seg)
+    total_new = n_seg * seg                   # cache sized for whole stream
+    keys = jax.random.split(rng, total_new)
+    # smuggle total_new into the jitted start via a shape: [seg, total_new, 2]
+    keys_start = jnp.broadcast_to(keys[:seg, None, :], (seg, total_new, 2))
+    toks, state = _gen_start(params, input_ids, attention_mask, keys_start,
+                             cfg=cfg, temperature=temperature, top_k=top_k)
+    emitted = 0
+    while True:
+        block = np.asarray(toks)
+        keep = min(block.shape[1], max_new_tokens - emitted)
+        yield block[:, :keep]
+        emitted += keep
+        if emitted >= max_new_tokens:
+            return
+        if (block[:, -1] == cfg.eos_token_id).all():
+            return                            # every row finished mid-stream
+        toks, state = _gen_more(params, state, keys[emitted:emitted + seg],
+                                cfg=cfg, temperature=temperature, top_k=top_k)
+
+
 # ----------------------------------------------------- multi-chip sharding
 
 def shard_decoder_params(params, mesh, cfg: DecoderConfig,

@@ -217,6 +217,13 @@ class RagApi:
                                    "data": {"documents": streamed_docs}})
                         if delay:
                             time.sleep(delay)
+                    elif phase == "answer_delta":
+                        # progressive on-device LLM tokens (engine streams
+                        # them only when the provider can); an extra event
+                        # type — clients that only know chunks/answer/
+                        # complete ignore it and still get the full answer
+                        yield sse({"type": "answer_partial",
+                                   "data": {"text": payload}})
                     else:  # complete
                         yield sse({"type": "answer",
                                    "data": {"aiResponse":

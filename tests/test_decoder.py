@@ -300,3 +300,67 @@ class TestInt8WeightOnly:
         assert llm._params["layers"]["q_w"]["q"].dtype == jnp.int8
         out = llm.generate("w3 w4 w5", max_tokens=8)
         assert out is None or isinstance(out, str)
+
+
+class TestGenerateStream:
+    def test_stream_equals_one_shot_greedy_and_sampled(self):
+        from financial_rag_tpu.models.decoder import generate_stream
+        cfg = DecoderConfig(vocab_size=97, num_layers=2, hidden_size=32,
+                            num_heads=4, num_kv_heads=2, intermediate_size=64,
+                            attention_bias=True, eos_token_id=0)
+        p = random_decoder_params(cfg, 0)
+        ids = jnp.asarray(np.random.default_rng(0).integers(1, 97, (2, 9)),
+                          jnp.int32)
+        am = jnp.ones((2, 9), jnp.int32).at[0, :3].set(0)
+        one = np.asarray(generate_tokens(p, ids, am, jax.random.PRNGKey(0),
+                                         cfg=cfg, max_new_tokens=12))
+        blocks = list(generate_stream(p, ids, am, jax.random.PRNGKey(0),
+                                      cfg=cfg, max_new_tokens=12, segment=5))
+        np.testing.assert_array_equal(np.concatenate(blocks, 1), one)
+        # sampled path: identical when the rng stream lines up (segment
+        # dividing max_new keeps split() counts equal)
+        one_s = np.asarray(generate_tokens(
+            p, ids, am, jax.random.PRNGKey(3), cfg=cfg, max_new_tokens=12,
+            temperature=0.9, top_k=8))
+        blocks = list(generate_stream(
+            p, ids, am, jax.random.PRNGKey(3), cfg=cfg, max_new_tokens=12,
+            segment=4, temperature=0.9, top_k=8))
+        np.testing.assert_array_equal(np.concatenate(blocks, 1), one_s)
+
+    def test_stream_stops_early_on_all_eos(self):
+        from financial_rag_tpu.models.decoder import generate_stream
+        cfg = DecoderConfig(vocab_size=29, num_layers=1, hidden_size=16,
+                            num_heads=2, num_kv_heads=2, intermediate_size=32,
+                            eos_token_id=11)
+        p = random_decoder_params(cfg, 0)
+        ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+        am = jnp.ones((1, 3), jnp.int32)
+        one = np.asarray(generate_tokens(p, ids, am, jax.random.PRNGKey(1),
+                                         cfg=cfg, max_new_tokens=40))[0]
+        blocks = list(generate_stream(p, ids, am, jax.random.PRNGKey(1),
+                                      cfg=cfg, max_new_tokens=40, segment=8))
+        got = np.concatenate(blocks, 1)[0]
+
+        def trim(t):
+            t = list(t)
+            return t[:t.index(11)] if 11 in t else t
+
+        assert trim(got) == trim(one)
+        if 11 in list(one[: len(got) - 8]):     # eos well before the end
+            assert got.shape[0] < 40, "stream should stop early after eos"
+
+    def test_local_llm_generate_stream_concat_equals_generate(self, tmp_path):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        model, cfg, _ = _tiny_qwen2()
+        model.save_pretrained(str(tmp_path))
+        from tokenizers import Tokenizer, models as tm, pre_tokenizers
+        vocab = {f"w{i}": i for i in range(200)}
+        vocab["<unk>"] = 200
+        tok = Tokenizer(tm.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        tok.save(str(tmp_path / "tokenizer.json"))
+        llm = LocalLLM(model_dir=str(tmp_path), dtype="float32")
+        full = llm.generate("w1 w2 w3", max_tokens=16)
+        streamed = "".join(llm.generate_stream("w1 w2 w3", max_tokens=16,
+                                               segment=5))
+        assert streamed.strip() == (full or "")

@@ -566,3 +566,84 @@ class TestActiveGauge:
         next(gen)           # chunks event only
         gen.close()
         assert engine.active.value() == 0
+
+
+class TestStreamingAnswer:
+    """Progressive answer tokens: engine yields answer_delta phases when the
+    provider can stream (llm/provider.py::stream_answer); the server maps
+    them to `answer_partial` SSE events ahead of the final `answer`."""
+
+    class _StreamingLLM:
+        name = "fake-stream"
+
+        def available(self):
+            return True
+
+        def generate(self, prompt, *, max_tokens=1024):
+            return "full fallback answer"
+
+        def generate_stream(self, prompt, *, max_tokens=1024):
+            yield "The rent "
+            yield "is Rs 42,800."
+
+    def test_engine_streams_answer_deltas(self, stack):
+        engine, *_ = stack
+        orig = engine.llm
+        engine.llm = self._StreamingLLM()
+        try:
+            phases = list(engine.query_stream("GST amount"))
+        finally:
+            engine.llm = orig
+        kinds = [k for k, _ in phases]
+        assert kinds == ["chunks", "answer_delta", "answer_delta", "complete"]
+        deltas = [p for k, p in phases if k == "answer_delta"]
+        result = phases[-1][1]
+        # the final answer IS the streamed text (no second generation)
+        assert result["answer"] == "".join(deltas).strip()
+
+    def test_sse_answer_partial_events(self, stack):
+        engine, client, *_ = stack
+        orig = engine.llm
+        engine.llm = self._StreamingLLM()
+        try:
+            resp = client.post("/search-stream", json={"query": "GST amount"})
+            # drain INSIDE the swap: the SSE body is generated lazily
+            body = resp.get_data(as_text=True)
+        finally:
+            engine.llm = orig
+        events = [json.loads(line[6:]) for line in body.splitlines()
+                  if line.startswith("data: ")]
+        types = [e["type"] for e in events]
+        assert types == ["chunks", "answer_partial", "answer_partial",
+                         "answer", "complete"]
+        partial = "".join(e["data"]["text"] for e in events
+                          if e["type"] == "answer_partial")
+        assert partial == "The rent is Rs 42,800."
+        assert events[-2]["data"]["aiResponse"]["summary"].startswith("The rent")
+
+    def test_non_streaming_provider_unchanged(self, stack):
+        """NullLLM (no generate_stream) must keep the exact old event flow."""
+        engine, client, *_ = stack
+        resp = client.post("/search-stream", json={"query": "GST amount"})
+        types = [json.loads(line[6:])["type"] for line in
+                 resp.get_data(as_text=True).splitlines()
+                 if line.startswith("data: ")]
+        assert types == ["chunks", "answer", "complete"]
+
+    def test_stream_failure_degrades_to_synthesize(self, stack):
+        engine, *_ = stack
+
+        class BrokenStream(self._StreamingLLM):
+            def generate_stream(self, prompt, *, max_tokens=1024):
+                raise RuntimeError("boom")
+                yield  # pragma: no cover
+
+        orig = engine.llm
+        engine.llm = BrokenStream()
+        try:
+            phases = list(engine.query_stream("GST amount"))
+        finally:
+            engine.llm = orig
+        assert [k for k, _ in phases] == ["chunks", "complete"]
+        # degradation: falls back to generate() via synthesize_answer
+        assert phases[-1][1]["answer"] == "full fallback answer"
