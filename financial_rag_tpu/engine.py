@@ -254,8 +254,9 @@ class RAGEngine:
         prompt = build_answer_prompt(queries[0] if queries else question, parents,
                                      related_queries=queries[1:])
         if answer is None:
-            answer = synthesize_answer(self.llm, question, parents,
-                                       related_queries=queries[1:])
+            with time_block("engine.llm"):
+                answer = synthesize_answer(self.llm, question, parents,
+                                           related_queries=queries[1:])
 
         processing_time = time.time() - start
         parent_chunks = [

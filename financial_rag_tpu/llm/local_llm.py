@@ -179,6 +179,7 @@ class LocalLLM:
         from financial_rag_tpu.models.decoder import generate_tokens
 
         input_ids, mask = self._prep(prompt)
+        max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
         toks = generate_tokens(
             self._params, jnp.asarray(input_ids), jnp.asarray(mask),
@@ -204,6 +205,7 @@ class LocalLLM:
         from financial_rag_tpu.models.decoder import generate_stream
 
         input_ids, mask = self._prep(prompt)
+        max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
         toks: list = []
         emitted = ""
