@@ -191,6 +191,50 @@ class LocalLLM:
         text = self._clean(self._tok.decode(out, skip_special_tokens=True)).strip()
         return text or None
 
+    def generate_many(self, prompts, *, max_tokens: int = 1024):
+        """Batched generation: one device dispatch answers every prompt.
+
+        At the 0.5B shape a decode step costs 3.0 ms for EIGHT rows vs
+        1.8 ms for one (weights amortize across the batch, BENCH_LLM.json),
+        so coalescing concurrent requests nearly 5x-es answer throughput.
+        Prompts LEFT-pad to the largest bucket in the wave; the batch pads
+        to a power of two (compile-bounded). Returns one Optional[str] per
+        prompt, in order.
+        """
+        if not prompts:
+            return []
+        if not self._ensure_loaded():
+            return [None] * len(prompts)
+        import jax
+        import jax.numpy as jnp
+
+        from financial_rag_tpu.models.decoder import generate_tokens
+
+        max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
+        max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        rows = [self._prep(p) for p in prompts]
+        bucket = max(r[0].shape[1] for r in rows)
+        b = _bucket(len(rows), (1, 2, 4, 8, 16, 32))
+        input_ids = np.full((b, bucket), self._dcfg.eos_token_id, np.int32)
+        mask = np.zeros((b, bucket), np.int32)
+        for i, (ids, m) in enumerate(rows):
+            w = ids.shape[1]
+            input_ids[i, bucket - w:] = ids[0]    # re-left-pad to the wave
+            mask[i, bucket - w:] = m[0]           # bucket (pads stay masked)
+        toks = np.asarray(generate_tokens(
+            self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+            jax.random.PRNGKey(0), cfg=self._dcfg, max_new_tokens=max_new,
+            temperature=0.0))
+        out = []
+        for i in range(len(rows)):
+            row = toks[i].tolist()
+            if self._dcfg.eos_token_id in row:
+                row = row[:row.index(self._dcfg.eos_token_id)]
+            text = self._clean(
+                self._tok.decode(row, skip_special_tokens=True)).strip()
+            out.append(text or None)
+        return out
+
     def generate_stream(self, prompt: str, *, max_tokens: int = 1024,
                         segment: int = 48):
         """Yield text deltas. Token stream is identical to generate()'s

@@ -266,6 +266,15 @@ class Runtime:
         feedback_db = FeedbackDatabase(data_dir / cfg.store.feedback_db_path,
                                        cache_ttl_s=cfg.serving.result_cache_ttl_s)
         llm = get_provider(cfg.llm)
+        if cfg.serving.microbatch and hasattr(llm, "generate_many"):
+            # coalesce concurrent answer generations into one batched decode
+            # (BatchingLLM docstring: weights stream once per step per WAVE)
+            from financial_rag_tpu.serving.batcher import BatchingLLM
+
+            llm = BatchingLLM(llm, max_items=8,
+                              max_wait_ms=cfg.serving.microbatch_wait_ms,
+                              direct=cfg.serving.microbatch_direct,
+                              active=serve_active)
 
         reranker_model = None
         if cfg.rerank.enabled and cfg.rerank.model_path and Path(cfg.rerank.model_path).exists():

@@ -845,3 +845,42 @@ class BatchingIndex(_Delegate):
             f"k{key[0]}": {"calls": mb.calls, "submitted": mb.submitted}
             for key, mb in self._batchers.items()
         }
+
+
+class BatchingLLM(_Delegate):
+    """Wraps a LocalLLM: concurrent requests' answer generations coalesce
+    into ONE batched decode (LocalLLM.generate_many). A decode step costs
+    ~3.0 ms for eight rows vs ~1.8 ms for one at the 0.5B shape
+    (BENCH_LLM.json) — the weights stream from HBM once per step no matter
+    the batch — so under load this nearly 5x-es answer throughput. Same
+    adaptive direct-lane policy as the other batchers; generate_stream
+    stays per-request (a stream is inherently one consumer)."""
+
+    def __init__(self, inner, *, max_items: int = 8, max_wait_ms: float = 0.0,
+                 direct: int = 0, active: Optional[ActiveCount] = None,
+                 name: str = "llm") -> None:
+        super().__init__(inner)
+        self.batcher = MicroBatcher(fn=self._run, max_items=max_items,
+                                    max_wait_ms=max_wait_ms, direct=direct,
+                                    active=active, name=name)
+
+    def __bool__(self) -> bool:
+        # callers do `llm or NullLLM()`; without this Python falls through
+        # to _Delegate.__len__, which a provider doesn't have
+        return True
+
+    def _run(self, payloads: List[Any]) -> List[Any]:
+        prompts = [p for p, _ in payloads]
+        # one wave, one max_tokens: the smallest cap any member asked for
+        # would truncate its peers, so take the max and trim at eos anyway
+        max_tokens = max(mt for _, mt in payloads)
+        return self.inner.generate_many(prompts, max_tokens=max_tokens)
+
+    def generate(self, prompt: str, *, max_tokens: int = 1024):
+        if not self.inner.available():
+            return None
+        return self.batcher.submit((prompt, max_tokens))
+
+    def stats(self) -> dict:
+        return {"calls": self.batcher.calls,
+                "submitted": self.batcher.submitted}

@@ -364,3 +364,60 @@ class TestGenerateStream:
         streamed = "".join(llm.generate_stream("w1 w2 w3", max_tokens=16,
                                                segment=5))
         assert streamed.strip() == (full or "")
+
+
+class TestBatchedGeneration:
+    @pytest.fixture(scope="class")
+    def llm(self, tmp_path_factory):
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        d = tmp_path_factory.mktemp("batch_llm")
+        model, cfg, _ = _tiny_qwen2()
+        model.save_pretrained(str(d))
+        from tokenizers import Tokenizer, models as tm, pre_tokenizers
+        vocab = {f"w{i}": i for i in range(200)}
+        vocab["<unk>"] = 200
+        tok = Tokenizer(tm.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        tok.save(str(d / "tokenizer.json"))
+        return LocalLLM(model_dir=str(d), dtype="float32")
+
+    def test_generate_many_matches_solo(self, llm):
+        prompts = ["w1 w2 w3", "w9 w8 w7 w6 w5 w4", "w100"]
+        solo = [llm.generate(p, max_tokens=12) for p in prompts]
+        many = llm.generate_many(prompts, max_tokens=12)
+        assert many == solo   # left-pad invariance: batching can't change tokens
+
+    def test_generate_many_empty(self, llm):
+        assert llm.generate_many([]) == []
+
+    def test_batching_llm_coalesces(self, llm):
+        import threading
+        from financial_rag_tpu.serving.batcher import BatchingLLM
+        wrapped = BatchingLLM(llm, max_items=8)
+        _ = wrapped.generate("w1 w2", max_tokens=8)   # warm compile
+        solo = {p: llm.generate(p, max_tokens=8) for p in
+                ["w1 w2", "w3 w4", "w5 w6 w7"]}
+        results = {}
+        barrier = threading.Barrier(3)
+
+        def worker(p):
+            barrier.wait()
+            results[p] = wrapped.generate(p, max_tokens=8)
+
+        ts = [threading.Thread(target=worker, args=(p,)) for p in solo]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert results == solo            # batched == per-request output
+        st = wrapped.stats()
+        assert st["submitted"] >= 3
+        wrapped.batcher.close()
+
+    def test_stream_passthrough_on_wrapper(self, llm):
+        from financial_rag_tpu.serving.batcher import BatchingLLM
+        wrapped = BatchingLLM(llm, max_items=8)
+        full = llm.generate("w2 w4", max_tokens=8) or ""
+        streamed = "".join(wrapped.generate_stream("w2 w4", max_tokens=8))
+        assert streamed.strip() == full
+        wrapped.batcher.close()
