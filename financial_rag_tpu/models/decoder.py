@@ -166,9 +166,16 @@ def quantize_decoder_params(params) -> Dict[str, Any]:
     weight from HBM. int8 halves those bytes vs bf16; the int8->bf16
     convert happens in VMEM (XLA fuses it into the dot), so the MXU still
     sees bf16. Matmul weights become ``{"q": int8 [..., in, out],
-    "s": f32 [..., out]}``; embeddings, norms and biases stay as-is (the
-    embed table is a gather on input and, when tied, the OUTPUT head —
-    quantizing it costs accuracy where logits are most sensitive).
+    "s": f32 [..., out]}``; embeddings, norms and biases stay as-is.
+
+    Tied embeddings get a SEPARATE int8 copy of the table for the output
+    head: the input-side gather keeps reading the full-precision embed
+    (a few rows per step — precision is free there), while the logits
+    matmul — the single largest weight read of a decode step (V x H, e.g.
+    272 MB bf16 at the Qwen2-0.5B shape) — streams the int8 copy. Costs
+    +V x H bytes of HBM residency, saves V x H bytes of HBM traffic per
+    generated token; per-vocab-row scales keep the argmax stable (greedy
+    parity asserted in tests/test_decoder.py).
     """
 
     def quant(w):
@@ -183,12 +190,13 @@ def quantize_decoder_params(params) -> Dict[str, Any]:
         k: (quant(v) if k.endswith("_w") else v)
         for k, v in params["layers"].items()
     }
-    if "lm_head" in params:
-        # lm_head is [V, H]: contract over H (the last axis) — per-vocab-row
-        wf = np.asarray(params["lm_head"], np.float32)
-        s = np.maximum(np.max(np.abs(wf), axis=-1, keepdims=True) / 127.0, 1e-8)
-        q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
-        out["lm_head"] = {"q": jnp.asarray(q), "s": jnp.asarray(s[..., 0])}
+    # [V, H] head (explicit lm_head, or the tied embed table): contract over
+    # H (the last axis) — per-vocab-row scales
+    head = params.get("lm_head", params["embed"])
+    wf = np.asarray(head, np.float32)
+    s = np.maximum(np.max(np.abs(wf), axis=-1, keepdims=True) / 127.0, 1e-8)
+    q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
+    out["lm_head"] = {"q": jnp.asarray(q), "s": jnp.asarray(s[..., 0])}
     return out
 
 
@@ -262,7 +270,10 @@ def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
 
 def _logits(params, x, cfg: DecoderConfig):
     x = _rms_norm(x, params["final_ln"], cfg.norm_eps)
-    head = params["embed"] if cfg.tie_embeddings else params["lm_head"]
+    # tied checkpoints normally read the embed table; quantization installs
+    # a separate int8 "lm_head" copy for this matmul (see
+    # quantize_decoder_params), which takes precedence when present
+    head = params.get("lm_head", params["embed"])
     if isinstance(head, dict):   # int8 per-vocab-row
         raw = jnp.einsum("bsh,vh->bsv", x, head["q"].astype(x.dtype))
         return (raw * head["s"].astype(x.dtype)).astype(jnp.float32)

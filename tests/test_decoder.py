@@ -276,14 +276,27 @@ class TestInt8WeightOnly:
                                         cfg=cfg, max_new_tokens=6))
         np.testing.assert_array_equal(tf, tq)
 
-    def test_tied_embeddings_head_stays_unquantized(self):
+    def test_tied_embeddings_get_int8_head_copy(self):
+        """Tied models keep the full-precision embed for the input gather but
+        gain a SEPARATE int8 copy of the table for the logits matmul — the
+        largest weight read of a decode step. Greedy tokens must not move."""
         from financial_rag_tpu.models.decoder import quantize_decoder_params
         cfg = DecoderConfig(vocab_size=64, num_layers=1, hidden_size=16,
                             num_heads=2, num_kv_heads=2, intermediate_size=32,
                             tie_embeddings=True, eos_token_id=0)
-        pq = quantize_decoder_params(random_decoder_params(cfg, 0))
-        assert "lm_head" not in pq
-        assert pq["embed"].dtype != jnp.int8   # gather + output head: full precision
+        p = random_decoder_params(cfg, 0)
+        pq = quantize_decoder_params(p)
+        assert pq["embed"].dtype != jnp.int8   # input gather: full precision
+        assert pq["lm_head"]["q"].dtype == jnp.int8
+        assert pq["lm_head"]["q"].shape == (64, 16)
+        ids = jnp.asarray(np.random.default_rng(1).integers(1, 64, (2, 7)),
+                          jnp.int32)
+        am = jnp.ones((2, 7), jnp.int32)
+        tf = np.asarray(generate_tokens(p, ids, am, jax.random.PRNGKey(0),
+                                        cfg=cfg, max_new_tokens=6))
+        tq = np.asarray(generate_tokens(pq, ids, am, jax.random.PRNGKey(0),
+                                        cfg=cfg, max_new_tokens=6))
+        np.testing.assert_array_equal(tf, tq)
 
     def test_local_llm_int8_dtype(self, tmp_path):
         from financial_rag_tpu.llm.local_llm import LocalLLM
