@@ -118,6 +118,10 @@ class LocalLLM:
         if self.dtype == "int8":   # weight-only quant: ~2x decode bandwidth
             from financial_rag_tpu.models.decoder import quantize_decoder_params
             self._params = quantize_decoder_params(self._params)
+        # single-device serving: fuse q/k/v and gate/up into one matmul each
+        # (exact; tensor-parallel callers shard the UNfused layout instead)
+        from financial_rag_tpu.models.decoder import fuse_decoder_params
+        self._params = fuse_decoder_params(self._params)
 
         from tokenizers import Tokenizer
         self._tok = Tokenizer.from_file(str(self.model_dir / "tokenizer.json"))

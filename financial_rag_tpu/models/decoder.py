@@ -200,6 +200,42 @@ def quantize_decoder_params(params) -> Dict[str, Any]:
     return out
 
 
+def fuse_decoder_params(params) -> Dict[str, Any]:
+    """Fuse q/k/v -> one [H, H+2KV] matmul and gate/up -> one [H, 2F].
+
+    Decode is a scan whose per-step cost is (weight bytes / HBM bandwidth)
+    + per-op overhead; the k/v projections are tiny (H x KV, e.g. 896x128
+    = 115 KB int8 at the Qwen2-0.5B shape) so their streams are
+    latency-bound, not bandwidth-bound. Fusing turns 7 matmuls/layer into
+    4 larger ones that each stream long enough to hit full bandwidth.
+    Exact for bf16 (pure concatenation) AND for weight-only int8: the
+    per-output-channel scales are independent per column, so concatenating
+    quantized blocks equals quantizing the concatenation.
+
+    Single-device layout only: `shard_decoder_params` Megatron-splits the
+    UNfused weights (a fused [H_q | KV_k | KV_v] output axis would put
+    device boundaries inside the parts), so fuse after deciding not to TP.
+    The layer bodies accept either format.
+    """
+
+    def cat(ws):
+        if isinstance(ws[0], dict):
+            return {"q": jnp.concatenate([w["q"] for w in ws], axis=-1),
+                    "s": jnp.concatenate([w["s"] for w in ws], axis=-1)}
+        return jnp.concatenate(ws, axis=-1)
+
+    lay = params["layers"]
+    fused = {k: v for k, v in lay.items()
+             if k not in ("q_w", "k_w", "v_w", "gate_w", "up_w",
+                          "q_b", "k_b", "v_b")}
+    fused["qkv_w"] = cat([lay["q_w"], lay["k_w"], lay["v_w"]])
+    if "q_b" in lay:
+        fused["qkv_b"] = jnp.concatenate(
+            [lay["q_b"], lay["k_b"], lay["v_b"]], axis=-1)
+    fused["gu_w"] = cat([lay["gate_w"], lay["up_w"]])
+    return dict(params, layers=fused)
+
+
 # ----------------------------------------------------------------- forward
 
 def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
@@ -207,6 +243,32 @@ def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
     if isinstance(w, dict):
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w
+
+
+def _qkv(h: jnp.ndarray, lp, cfg: DecoderConfig):
+    """(q, k, v) projections from either the fused or the split layout."""
+    kv = cfg.num_kv_heads * cfg.head_dim
+    if "qkv_w" in lp:
+        qkv = _mm(h, lp["qkv_w"])
+        if "qkv_b" in lp:
+            qkv = qkv + lp["qkv_b"]
+        return (qkv[..., : cfg.hidden_size],
+                qkv[..., cfg.hidden_size: cfg.hidden_size + kv],
+                qkv[..., cfg.hidden_size + kv:])
+    q, k, v = _mm(h, lp["q_w"]), _mm(h, lp["k_w"]), _mm(h, lp["v_w"])
+    if cfg.attention_bias:
+        q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+    return q, k, v
+
+
+def _ffn(h: jnp.ndarray, lp, cfg: DecoderConfig) -> jnp.ndarray:
+    """SwiGLU from either the fused or the split layout."""
+    if "gu_w" in lp:
+        gu = _mm(h, lp["gu_w"])
+        gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size:]
+        return _mm(jax.nn.silu(gate) * up, lp["down_w"])
+    return _mm(jax.nn.silu(_mm(h, lp["gate_w"])) * _mm(h, lp["up_w"]),
+               lp["down_w"])
 
 
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -249,11 +311,7 @@ def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
     """
     b, s, _ = x.shape
     h = _rms_norm(x, lp["ln1"], cfg.norm_eps)
-    q = _mm(h, lp["q_w"])
-    k = _mm(h, lp["k_w"])
-    v = _mm(h, lp["v_w"])
-    if cfg.attention_bias:
-        q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+    q, k, v = _qkv(h, lp, cfg)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -264,8 +322,7 @@ def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
     attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
     x = x + _mm(attn, lp["o_w"])
     h = _rms_norm(x, lp["ln2"], cfg.norm_eps)
-    ff = _mm(jax.nn.silu(_mm(h, lp["gate_w"])) * _mm(h, lp["up_w"]), lp["down_w"])
-    return x + ff, k_new, v
+    return x + _ffn(h, lp, cfg), k_new, v
 
 
 def _logits(params, x, cfg: DecoderConfig):
@@ -348,11 +405,7 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
     def body2(h, xs):
         lp, kc, vc = xs
         hh = _rms_norm(h, lp["ln1"], cfg.norm_eps)
-        q = _mm(hh, lp["q_w"])
-        k = _mm(hh, lp["k_w"])
-        v = _mm(hh, lp["v_w"])
-        if cfg.attention_bias:
-            q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+        q, k, v = _qkv(hh, lp, cfg)
         q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
@@ -363,9 +416,7 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
         attn = _attend(q, kc, vc, mask, cfg).reshape(b, 1, cfg.hidden_size)
         h = h + _mm(attn, lp["o_w"])
         hh = _rms_norm(h, lp["ln2"], cfg.norm_eps)
-        ff = _mm(jax.nn.silu(_mm(hh, lp["gate_w"])) * _mm(hh, lp["up_w"]),
-                 lp["down_w"])
-        return h + ff, (kc, vc)
+        return h + _ffn(hh, lp, cfg), (kc, vc)
 
     x, (k_cache, v_cache) = jax.lax.scan(body2, x,
                                          (params["layers"], k_cache, v_cache))

@@ -298,6 +298,36 @@ class TestInt8WeightOnly:
                                         cfg=cfg, max_new_tokens=6))
         np.testing.assert_array_equal(tf, tq)
 
+    def test_fused_qkv_gateup_parity(self):
+        """fuse_decoder_params is numerically EXACT: logits and greedy
+        tokens match the split layout bit-for-bit in bf16 and int8 (the
+        per-output-channel int8 scales are column-independent, so the
+        concat of quantized blocks equals quantizing the concat)."""
+        from financial_rag_tpu.models.decoder import (
+            fuse_decoder_params, quantize_decoder_params)
+        cfg = DecoderConfig(vocab_size=97, num_layers=2, hidden_size=32,
+                            num_heads=4, num_kv_heads=2, intermediate_size=64,
+                            attention_bias=True, tie_embeddings=True,
+                            eos_token_id=0)
+        p = random_decoder_params(cfg, 0)
+        ids = jnp.asarray(np.random.default_rng(2).integers(1, 97, (2, 9)),
+                          jnp.int32)
+        am = jnp.ones((2, 9), jnp.int32).at[1, :2].set(0)
+        for base in (p, quantize_decoder_params(p)):
+            pf = fuse_decoder_params(base)
+            assert "qkv_w" in pf["layers"] and "q_w" not in pf["layers"]
+            np.testing.assert_allclose(   # fused matmuls may tile (and so
+                np.asarray(decoder_forward(base, ids, cfg, am)),   # round)
+                np.asarray(decoder_forward(pf, ids, cfg, am)),     # differently
+                atol=1e-5, rtol=1e-4)
+            ts = np.asarray(generate_tokens(base, ids, am,
+                                            jax.random.PRNGKey(0), cfg=cfg,
+                                            max_new_tokens=6))
+            tf = np.asarray(generate_tokens(pf, ids, am,
+                                            jax.random.PRNGKey(0), cfg=cfg,
+                                            max_new_tokens=6))
+            np.testing.assert_array_equal(ts, tf)
+
     def test_local_llm_int8_dtype(self, tmp_path):
         from financial_rag_tpu.llm.local_llm import LocalLLM
         model, cfg, _ = _tiny_qwen2()
@@ -310,7 +340,7 @@ class TestInt8WeightOnly:
         tok.save(str(tmp_path / "tokenizer.json"))
         llm = LocalLLM(model_dir=str(tmp_path), dtype="int8")
         assert llm.available()
-        assert llm._params["layers"]["q_w"]["q"].dtype == jnp.int8
+        assert llm._params["layers"]["qkv_w"]["q"].dtype == jnp.int8
         out = llm.generate("w3 w4 w5", max_tokens=8)
         assert out is None or isinstance(out, str)
 
