@@ -197,6 +197,10 @@ class LLMConfig:
     local_max_new_tokens: int = field(default_factory=lambda: _env("LLM_MAX_NEW_TOKENS", 256, int))
     # "bfloat16" | "int8" (weight-only, ~2x decode bandwidth) | "float32"
     local_dtype: str = field(default_factory=lambda: _env("LLM_DTYPE", "bfloat16", str))
+    # prompt-lookup speculative decoding: tokens drafted per step for
+    # batch-1 greedy generation (0 disables). Greedy-equivalent; RAG
+    # answers quote retrieved context, so drafts hit often (decoder.py).
+    local_spec_k: int = field(default_factory=lambda: _env("LLM_SPEC_K", 7, int))
 
 
 @dataclass

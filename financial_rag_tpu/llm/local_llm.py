@@ -180,15 +180,25 @@ class LocalLLM:
         import jax
         import jax.numpy as jnp
 
-        from financial_rag_tpu.models.decoder import generate_tokens
+        from financial_rag_tpu.models.decoder import (
+            generate_tokens, generate_tokens_spec)
 
         input_ids, mask = self._prep(prompt)
         max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
-        toks = generate_tokens(
-            self._params, jnp.asarray(input_ids), jnp.asarray(mask),
-            jax.random.PRNGKey(0), cfg=self._dcfg, max_new_tokens=max_new,
-            temperature=0.0)
+        spec_k = max(0, int(self.cfg.local_spec_k))
+        if spec_k:
+            # batch-1 greedy: prompt-lookup speculation emits greedy-
+            # equivalent tokens in fewer (weight-stream-bound) steps —
+            # RAG answers quote the context, so drafted spans verify often
+            toks, _steps = generate_tokens_spec(
+                self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+                cfg=self._dcfg, max_new_tokens=max_new, draft_k=spec_k)
+        else:
+            toks = generate_tokens(
+                self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+                jax.random.PRNGKey(0), cfg=self._dcfg,
+                max_new_tokens=max_new, temperature=0.0)
         out = np.asarray(toks)[0].tolist()
         if self._dcfg.eos_token_id in out:
             out = out[:out.index(self._dcfg.eos_token_id)]
@@ -250,17 +260,26 @@ class LocalLLM:
         import jax
         import jax.numpy as jnp
 
-        from financial_rag_tpu.models.decoder import generate_stream
+        from financial_rag_tpu.models.decoder import (
+            generate_stream, generate_stream_spec)
 
         input_ids, mask = self._prep(prompt)
         max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
-        toks: list = []
-        emitted = ""
-        for block in generate_stream(
+        spec_k = max(0, int(self.cfg.local_spec_k))
+        if spec_k:
+            stream = generate_stream_spec(
+                self._params, jnp.asarray(input_ids), jnp.asarray(mask),
+                cfg=self._dcfg, max_new_tokens=max_new, segment=segment,
+                draft_k=spec_k)
+        else:
+            stream = generate_stream(
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
                 jax.random.PRNGKey(0), cfg=self._dcfg,
-                max_new_tokens=max_new, segment=segment, temperature=0.0):
+                max_new_tokens=max_new, segment=segment, temperature=0.0)
+        toks: list = []
+        emitted = ""
+        for block in stream:
             row = block[0].tolist()
             stop = self._dcfg.eos_token_id in row
             if stop:

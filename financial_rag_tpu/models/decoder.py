@@ -473,6 +473,277 @@ def generate_tokens(params, input_ids, attention_mask, rng,
     return toks
 
 
+# ------------------------------------------- speculative (prompt-lookup)
+
+def _verify_block(params, toks, pos0, slot0, k_cache, v_cache, prompt_mask,
+                  cfg: DecoderConfig):
+    """Decode S tokens in ONE pass: feed toks [1, S], write their k/v at
+    cache slots [slot0, slot0+S), return logits at every position.
+
+    The speculation workhorse. At batch 1 a decode step's cost is the
+    weight stream from HBM; the S-token block streams the SAME bytes as a
+    1-token step (activations are KBs), so verifying S-1 drafted tokens is
+    nearly free. Causality inside the block and against the cache is one
+    mask: position i attends slot j iff j <= slot0+i (its own and earlier
+    slots — the block's entries are written before attending) and j is not
+    prompt padding.
+    """
+    b, s = toks.shape
+    positions = pos0[None, None] + jnp.arange(s)[None, :]        # [1, S]
+    max_total = k_cache.shape[2]
+    jslots = jnp.arange(max_total)[None, None, :]                # [1, 1, T]
+    mask = (jslots <= (slot0 + jnp.arange(s))[None, :, None]) \
+        & prompt_mask[:, None, :]                                # [1, S, T]
+    x = params["embed"][toks]                                    # [1, S, H]
+
+    def body(h, xs):
+        lp, kc, vc = xs
+        hh = _rms_norm(h, lp["ln1"], cfg.norm_eps)
+        q, k, v = _qkv(hh, lp, cfg)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot0, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot0, axis=1)
+        attn = _attend(q, kc, vc, mask, cfg).reshape(b, s, cfg.hidden_size)
+        h = h + _mm(attn, lp["o_w"])
+        hh = _rms_norm(h, lp["ln2"], cfg.norm_eps)
+        return h + _ffn(hh, lp, cfg), (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(body, x,
+                                         (params["layers"], k_cache, v_cache))
+    return _logits(params, x, cfg)[0], k_cache, v_cache          # [S, V]
+
+
+def _pl_drafts(ctx, slot, valid_from, *, ngram: int, draft_k: int):
+    """Prompt-lookup drafting on device: find the most recent earlier
+    occurrence of the sequence's last `ngram` tokens and propose the
+    `draft_k` tokens that followed it (falling back to ngram-1, then to
+    no match). ctx: [T] fed tokens by cache slot, with the pending token
+    already written at `slot`; valid_from: first non-padding slot.
+
+    Draft quality only affects the ACCEPTANCE RATE, never correctness —
+    the verify step recomputes every token — so clipped/garbage reads past
+    the sequence end are harmless by construction. O(T * ngram) vector
+    compares: microseconds next to a decode step.
+    """
+    t = ctx.shape[0]
+    idx = jnp.arange(t)
+
+    def match_end(n):
+        m = idx < slot                    # strictly before the current end
+        for d in range(n):
+            tgt = ctx[jnp.maximum(slot - d, 0)]
+            cand = jnp.take(ctx, jnp.maximum(idx - d, 0))
+            m &= (cand == tgt) & (idx - d >= valid_from)
+        return jnp.max(jnp.where(m, idx, -1))                    # -1 = none
+
+    e = match_end(ngram)
+    if ngram > 1:
+        e = jnp.where(e >= 0, e, match_end(ngram - 1))
+    start = jnp.where(e >= 0, e + 1, 0)
+    return jax.lax.dynamic_slice(ctx, (start,), (draft_k,))      # [K]
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "draft_k",
+                                   "ngram"))
+def generate_tokens_spec(params, input_ids, attention_mask,
+                         *, cfg: DecoderConfig, max_new_tokens: int,
+                         draft_k: int = 7, ngram: int = 3):
+    """Greedy generation with prompt-lookup speculative decoding. ONE
+    device dispatch; returns (tokens [1, max_new_tokens], steps scalar).
+
+    RAG answers quote the retrieved context, so drafting each next span by
+    n-gram match against the prompt (transformers' prompt_lookup_num_tokens
+    idea) and verifying draft_k tokens per step in one `_verify_block`
+    accepts multi-token spans at single-step cost. Output (trimmed at eos)
+    is greedy `generate_tokens` output — exactly so in exact arithmetic
+    (pinned by f32 tests); under bf16 activations a near-tie (top-2 logit
+    gap ~1 ulp) can resolve differently between the S-token block and the
+    1-token step, the same property as any batched-verify speculative
+    decoder (HF assisted generation included). Acceptance only decides
+    how many steps it takes, `steps` reports that. Batch 1 only: rows
+    would accept different counts and the KV cache is laid out in shared
+    slot coordinates (batched requests take `generate_tokens`, whose
+    batching already amortizes the weight stream).
+    """
+    b, s = input_ids.shape
+    assert b == 1, "speculative decoding is a batch-1 fast path"
+    blk = draft_k + 1
+    eos = jnp.int32(cfg.eos_token_id)
+    # slack so a final overshooting block never writes past the buffers
+    max_total = s + max_new_tokens + blk
+    last_logits, k_cache, v_cache = _prefill(params, input_ids,
+                                             attention_mask, max_total, cfg)
+    prompt_mask = jnp.concatenate(
+        [attention_mask == 1,
+         jnp.ones((b, max_new_tokens + blk), bool)], axis=1)     # [1, T]
+    pos0 = jnp.sum(attention_mask, axis=1)[0]        # rotary pos of tok0
+    valid_from = jnp.int32(s) - pos0                 # first real slot
+    tok0 = jnp.argmax(last_logits[0]).astype(jnp.int32)
+    ctx = jnp.concatenate([input_ids[0],
+                           jnp.zeros((max_new_tokens + blk,), jnp.int32)])
+    # tok0 is the first OUTPUT token (like generate_tokens); it is also the
+    # first block's fed token, whose successors the loop emits
+    out0 = jnp.full((max_new_tokens + blk,), eos, jnp.int32).at[0].set(tok0)
+
+    # carry: g tokens emitted, steps, pending token, done, cache slot of the
+    # pending token, its rotary position, out buffer, ctx, caches
+    carry0 = (jnp.int32(1), jnp.int32(0), tok0, tok0 == eos, jnp.int32(s),
+              pos0, out0, ctx, k_cache, v_cache)
+
+    def cond(c):
+        g, _, _, done, *_ = c
+        return (~done) & (g < max_new_tokens)
+
+    def body(c):
+        g, steps, tok, done, slot, pos, out, ctx, kc, vc = c
+        ctx = ctx.at[slot].set(tok)
+        drafts = _pl_drafts(ctx, slot, valid_from, ngram=ngram,
+                            draft_k=draft_k)
+        block = jnp.concatenate([tok[None], drafts])[None]       # [1, blk]
+        logits, kc, vc = _verify_block(params, block, pos, slot, kc, vc,
+                                       prompt_mask, cfg)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [blk]
+        acc = jnp.sum(jnp.cumprod(
+            (drafts == preds[:draft_k]).astype(jnp.int32)))      # 0..K
+        is_eos = preds == eos
+        first_eos = jnp.where(is_eos.any(), jnp.argmax(is_eos), blk)
+        n_emit = jnp.minimum(acc + 1, first_eos + 1).astype(jnp.int32)
+        emit = jnp.where(jnp.arange(blk) < n_emit, preds, eos)
+        out = jax.lax.dynamic_update_slice(out, emit, (g,))
+        # record fed tokens for future lookups (slots >= slot+n_emit hold
+        # eos padding until overwritten; lookups mask them out)
+        ctx = jax.lax.dynamic_update_slice(ctx, emit, (slot + 1,))
+        last = jnp.take(emit, n_emit - 1)
+        return (g + n_emit, steps + 1, last, jnp.take(is_eos, n_emit - 1),
+                slot + n_emit, pos + n_emit, out, ctx, kc, vc)
+
+    g, steps, *_rest = jax.lax.while_loop(cond, body, carry0)
+    out = _rest[4]
+    return out[None, :max_new_tokens], steps
+
+
+def _spec_seg_scan(params, state, out0, g0, *, cfg: DecoderConfig,
+                   segment: int, draft_k: int, ngram: int):
+    """Run speculative steps until >= segment tokens land in out0 (or eos).
+
+    out0: [segment+draft_k+1] eos-filled local block buffer; g0: tokens
+    already in it. Returns (block, n_valid, new_state). Shares its loop
+    body shape with generate_tokens_spec; state keys: tok, done, slot,
+    pos, ctx, kc, vc, pm, vf, total (total tokens emitted so far, capping
+    the stream at the cache size).
+    """
+    blk = draft_k + 1
+    eos = jnp.int32(cfg.eos_token_id)
+    budget = state["ctx"].shape[0]               # slots; never write past
+    carry0 = (g0, state["tok"], state["done"], state["slot"], state["pos"],
+              state["total"], out0, state["ctx"], state["kc"], state["vc"])
+
+    def cond(c):
+        g, _, done, slot, *_ = c
+        return (~done) & (g < segment) & (slot + blk < budget)
+
+    def body(c):
+        g, tok, done, slot, pos, total, out, ctx, kc, vc = c
+        ctx = ctx.at[slot].set(tok)
+        drafts = _pl_drafts(ctx, slot, state["vf"], ngram=ngram,
+                            draft_k=draft_k)
+        block = jnp.concatenate([tok[None], drafts])[None]
+        logits, kc, vc = _verify_block(params, block, pos, slot, kc, vc,
+                                       state["pm"], cfg)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        acc = jnp.sum(jnp.cumprod(
+            (drafts == preds[:draft_k]).astype(jnp.int32)))
+        is_eos = preds == eos
+        first_eos = jnp.where(is_eos.any(), jnp.argmax(is_eos), blk)
+        n_emit = jnp.minimum(acc + 1, first_eos + 1).astype(jnp.int32)
+        emit = jnp.where(jnp.arange(blk) < n_emit, preds, eos)
+        out = jax.lax.dynamic_update_slice(out, emit, (g,))
+        ctx = jax.lax.dynamic_update_slice(ctx, emit, (slot + 1,))
+        return (g + n_emit, jnp.take(emit, n_emit - 1),
+                jnp.take(is_eos, n_emit - 1), slot + n_emit, pos + n_emit,
+                total + n_emit, out, ctx, kc, vc)
+
+    g, tok, done, slot, pos, total, out, ctx, kc, vc = jax.lax.while_loop(
+        cond, body, carry0)
+    new_state = dict(state, tok=tok, done=done, slot=slot, pos=pos,
+                     total=total, ctx=ctx, kc=kc, vc=vc)
+    return out, g, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "segment",
+                                   "draft_k", "ngram"))
+def _spec_gen_start(params, input_ids, attention_mask, *, cfg: DecoderConfig,
+                    max_new_tokens: int, segment: int, draft_k: int,
+                    ngram: int):
+    """Prefill + the first speculative segment (includes tok0)."""
+    b, s = input_ids.shape
+    blk = draft_k + 1
+    eos = jnp.int32(cfg.eos_token_id)
+    max_total = s + max_new_tokens + blk
+    last_logits, kc, vc = _prefill(params, input_ids, attention_mask,
+                                   max_total, cfg)
+    pm = jnp.concatenate([attention_mask == 1,
+                          jnp.ones((b, max_new_tokens + blk), bool)], axis=1)
+    pos0 = jnp.sum(attention_mask, axis=1)[0]
+    tok0 = jnp.argmax(last_logits[0]).astype(jnp.int32)
+    ctx = jnp.concatenate([input_ids[0],
+                           jnp.zeros((max_new_tokens + blk,), jnp.int32)])
+    state = {"tok": tok0, "done": tok0 == eos, "slot": jnp.int32(s),
+             "pos": pos0, "total": jnp.int32(1), "ctx": ctx, "kc": kc,
+             "vc": vc, "pm": pm, "vf": jnp.int32(s) - pos0}
+    out0 = jnp.full((segment + blk,), eos, jnp.int32).at[0].set(tok0)
+    return _spec_seg_scan(params, state, out0, jnp.int32(1), cfg=cfg,
+                          segment=segment, draft_k=draft_k, ngram=ngram)
+
+
+@partial(jax.jit, static_argnames=("cfg", "segment", "draft_k", "ngram"))
+def _spec_gen_more(params, state, *, cfg: DecoderConfig, segment: int,
+                   draft_k: int, ngram: int):
+    blk = draft_k + 1
+    out0 = jnp.full((segment + blk,), jnp.int32(cfg.eos_token_id), jnp.int32)
+    return _spec_seg_scan(params, state, out0, jnp.int32(0), cfg=cfg,
+                          segment=segment, draft_k=draft_k, ngram=ngram)
+
+
+def generate_stream_spec(params, input_ids, attention_mask,
+                         *, cfg: DecoderConfig, max_new_tokens: int,
+                         segment: int = 48, draft_k: int = 7,
+                         ngram: int = 3):
+    """Streaming speculative greedy generation (batch 1). Yields [1, n]
+    int32 blocks; the concatenation (trimmed at eos) equals greedy
+    ``generate_tokens`` output trimmed at eos (exactly in exact
+    arithmetic; see generate_tokens_spec on bf16 near-ties). Each segment is one device
+    dispatch that runs prompt-lookup speculation internally, so both the
+    first block and every later one land in fewer weight-stream-bound
+    steps than plain ``generate_stream``.
+    """
+    assert input_ids.shape[0] == 1, "speculative streaming is batch-1"
+    seg = max(1, min(segment, max_new_tokens))
+    block, n, state = _spec_gen_start(params, input_ids, attention_mask,
+                                      cfg=cfg, max_new_tokens=max_new_tokens,
+                                      segment=seg, draft_k=draft_k,
+                                      ngram=ngram)
+    emitted = 0
+    while True:
+        block_np, n_i = np.asarray(block), int(n)
+        keep = min(n_i, max_new_tokens - emitted)
+        if keep > 0:
+            yield block_np[None, :keep]
+            emitted += keep
+        if emitted >= max_new_tokens:
+            return
+        if keep and block_np[keep - 1] == cfg.eos_token_id:
+            return
+        if n_i == 0:                    # defensive: no progress means done
+            return
+        block, n, state = _spec_gen_more(params, state, cfg=cfg, segment=seg,
+                                         draft_k=draft_k, ngram=ngram)
+
+
 # ------------------------------------------------------------- streaming
 
 def _gen_scan(params, state, rngs, cfg: DecoderConfig,
