@@ -27,7 +27,11 @@ from financial_rag_tpu.utils import get_logger
 
 log = get_logger("llm.local")
 
-_PROMPT_BUCKETS = (128, 256, 512, 1024, 2048)
+# the full answer prompt (5 parents x 3000 chars, llm/prompts.py) runs
+# ~4-5k tokens, so the top bucket must hold it: truncating to 2048 would
+# silently drop the earliest retrieved context. KV cache at 4096+256 slots
+# is ~54 MB at the 0.5B shape — noise next to the weights.
+_PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 _NEW_TOKEN_BUCKETS = (64, 256, 1024)
 
 
@@ -71,7 +75,7 @@ class LocalLLM:
 
     def __init__(self, cfg: Optional[LLMConfig] = None,
                  model_dir: Optional[str] = None, dtype: Optional[str] = None,
-                 max_prompt_tokens: int = 2048) -> None:
+                 max_prompt_tokens: int = 4096) -> None:
         self.cfg = cfg or LLMConfig()
         self.model_dir = Path(model_dir or self.cfg.local_checkpoint or "")
         # "bfloat16" (default) | "int8" (weight-only) | "float32"

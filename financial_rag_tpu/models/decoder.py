@@ -277,24 +277,49 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * inv).astype(x.dtype) * scale
 
 
-def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """Rotary embedding, HF rotate-half convention. x: [B, S, H, D]."""
-    d = x.shape[-1]
+def _rope_tables(positions: jnp.ndarray, theta: float, d: int):
+    """(cos, sin) [B, S, 1, D/2] for `positions` [B, S]. Computed ONCE per
+    forward/decode step and reused by every layer's q and k — the tables
+    are position-only, so recomputing them inside the layer scan would
+    cost 2 x num_layers identical transcendental ops per step."""
     freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     ang = positions.astype(jnp.float32)[..., None] * freqs      # [B, S, D/2]
-    cos = jnp.cos(ang)[:, :, None, :]
-    sin = jnp.sin(ang)[:, :, None, :]
+    return jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
+
+
+def _rope_apply(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """Rotate-half rotary embedding (HF convention). x: [B, S, H, D]."""
+    d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2:]
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
 
 
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF rotate-half convention. x: [B, S, H, D]."""
+    cos, sin = _rope_tables(positions, theta, x.shape[-1])
+    return _rope_apply(x, cos, sin)
+
+
 def _attend(q, k, v, mask, cfg: DecoderConfig):
-    """q: [B,S,H,D]; k,v: [B,T,KV,D]; mask: [B,S,T] bool (True = attend)."""
+    """q: [B,S,H,D]; k,v: [B,T,KV,D]; mask: [B,S,T] bool (True = attend).
+
+    GQA contracts against the UN-replicated k/v: q reshapes to
+    [B,S,KV,G,D] and the einsums broadcast over the group axis, so the
+    cache is read once instead of materializing a groups-times copy
+    (at decode S=1 the repeat would add 2 x groups x cache bytes of HBM
+    traffic per layer per step).
+    """
+    b, s = q.shape[:2]
     groups = cfg.num_heads // cfg.num_kv_heads
     if groups > 1:
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
+        qg = q.reshape(b, s, cfg.num_kv_heads, groups, cfg.head_dim)
+        scores = jnp.einsum("bskgd,btkd->bkgst", qg, k) / np.sqrt(cfg.head_dim)
+        scores = jnp.where(mask[:, None, None, :, :],
+                           scores.astype(jnp.float32), jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+        return out.reshape(b, s, cfg.num_heads, cfg.head_dim)
     scores = jnp.einsum("bshd,bthd->bhst", q, k) / np.sqrt(cfg.head_dim)
     scores = jnp.where(mask[:, None, :, :], scores.astype(jnp.float32),
                        jnp.float32(-1e30))
@@ -302,21 +327,24 @@ def _attend(q, k, v, mask, cfg: DecoderConfig):
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
-def _layer(x, k_cache, v_cache, lp, positions, mask, cfg: DecoderConfig):
+def _layer(x, k_cache, v_cache, lp, rope, mask, cfg: DecoderConfig):
     """One decoder layer over new positions, attending to (cache + new).
 
     x: [B, S, H]; k_cache/v_cache: [B, T, KV, D] (positions before the new
-    block; T=0 for prefill); returns (x_out, k_new, v_new) where
-    k_new/v_new are the NEW positions' projections [B, S, KV, D].
+    block; T=0 for prefill); rope: (cos, sin) tables from `_rope_tables`
+    (hoisted out of the layer scan — identical for every layer); returns
+    (x_out, k_new, v_new) where k_new/v_new are the NEW positions'
+    projections [B, S, KV, D].
     """
     b, s, _ = x.shape
+    cos, sin = rope
     h = _rms_norm(x, lp["ln1"], cfg.norm_eps)
     q, k, v = _qkv(h, lp, cfg)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    q = _rope(q, positions, cfg.rope_theta)
-    k_new = _rope(k, positions, cfg.rope_theta)
+    q = _rope_apply(q, cos, sin)
+    k_new = _rope_apply(k, cos, sin)
     k_all = jnp.concatenate([k_cache, k_new], axis=1) if k_cache.shape[1] else k_new
     v_all = jnp.concatenate([v_cache, v], axis=1) if v_cache.shape[1] else v
     attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
@@ -352,12 +380,13 @@ def decoder_forward(params, input_ids, cfg: DecoderConfig,
     causal = jnp.tril(jnp.ones((s, s), bool))[None]             # [1, S, S]
     mask = causal & (attention_mask[:, None, :] == 1)           # [B, S, S]
     x = params["embed"][input_ids]
+    rope = _rope_tables(positions, cfg.rope_theta, cfg.head_dim)
 
     empty_k = jnp.zeros((b, 0, cfg.num_kv_heads, cfg.head_dim), x.dtype)
     empty_v = empty_k
 
     def body(h, lp):
-        h, _, _ = _layer(h, empty_k, empty_v, lp, positions, mask, cfg)
+        h, _, _ = _layer(h, empty_k, empty_v, lp, rope, mask, cfg)
         return h, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
@@ -374,10 +403,11 @@ def _prefill(params, input_ids, attention_mask, max_total: int,
     causal = jnp.tril(jnp.ones((s, s), bool))[None]
     mask = causal & (attention_mask[:, None, :] == 1)
     x = params["embed"][input_ids]
+    rope = _rope_tables(positions, cfg.rope_theta, cfg.head_dim)
     empty = jnp.zeros((b, 0, cfg.num_kv_heads, cfg.head_dim), x.dtype)
 
     def body(h, lp):
-        h, k_new, v_new = _layer(h, empty, empty, lp, positions, mask, cfg)
+        h, k_new, v_new = _layer(h, empty, empty, lp, rope, mask, cfg)
         return h, (k_new, v_new)
 
     x, (k_seq, v_seq) = jax.lax.scan(body, x, params["layers"])
@@ -401,6 +431,7 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
     x = params["embed"][token][:, None, :]               # [B, 1, H]
     valid = jnp.arange(max_total)[None, :] <= slot       # [1, T] filled slots
     mask = (valid & prompt_mask)[:, None, :]             # [B, 1, T]
+    cos, sin = _rope_tables(pos[:, None], cfg.rope_theta, cfg.head_dim)
 
     def body2(h, xs):
         lp, kc, vc = xs
@@ -409,8 +440,8 @@ def _decode_one(params, token, pos, slot, k_cache, v_cache, prompt_mask,
         q = q.reshape(b, 1, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
-        q = _rope(q, pos[:, None], cfg.rope_theta)
-        k = _rope(k, pos[:, None], cfg.rope_theta)
+        q = _rope_apply(q, cos, sin)
+        k = _rope_apply(k, cos, sin)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot, axis=1)
         attn = _attend(q, kc, vc, mask, cfg).reshape(b, 1, cfg.hidden_size)
@@ -495,6 +526,7 @@ def _verify_block(params, toks, pos0, slot0, k_cache, v_cache, prompt_mask,
     mask = (jslots <= (slot0 + jnp.arange(s))[None, :, None]) \
         & prompt_mask[:, None, :]                                # [1, S, T]
     x = params["embed"][toks]                                    # [1, S, H]
+    cos, sin = _rope_tables(positions, cfg.rope_theta, cfg.head_dim)
 
     def body(h, xs):
         lp, kc, vc = xs
@@ -503,8 +535,8 @@ def _verify_block(params, toks, pos0, slot0, k_cache, v_cache, prompt_mask,
         q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
         k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope_apply(q, cos, sin)
+        k = _rope_apply(k, cos, sin)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot0, axis=1)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot0, axis=1)
         attn = _attend(q, kc, vc, mask, cfg).reshape(b, s, cfg.hidden_size)
