@@ -203,7 +203,8 @@ class LocalLLM:
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
                 jax.random.PRNGKey(0), cfg=self._dcfg,
                 max_new_tokens=max_new, temperature=0.0)
-        out = np.asarray(toks)[0].tolist()
+        # the device generates a full bucket; the CONTRACT is max_tokens
+        out = np.asarray(toks)[0].tolist()[:max_tokens]
         if self._dcfg.eos_token_id in out:
             out = out[:out.index(self._dcfg.eos_token_id)]
         text = self._clean(self._tok.decode(out, skip_special_tokens=True)).strip()
@@ -245,7 +246,7 @@ class LocalLLM:
             temperature=0.0))
         out = []
         for i in range(len(rows)):
-            row = toks[i].tolist()
+            row = toks[i].tolist()[:max_tokens]   # bucket -> requested cap
             if self._dcfg.eos_token_id in row:
                 row = row[:row.index(self._dcfg.eos_token_id)]
             text = self._clean(
@@ -284,7 +285,8 @@ class LocalLLM:
         toks: list = []
         emitted = ""
         for block in stream:
-            row = block[0].tolist()
+            # bucket -> requested cap: emit at most max_tokens in total
+            row = block[0].tolist()[:max(0, max_tokens - len(toks))]
             stop = self._dcfg.eos_token_id in row
             if stop:
                 row = row[:row.index(self._dcfg.eos_token_id)]
@@ -295,5 +297,5 @@ class LocalLLM:
             if len(text) > len(emitted):
                 yield text[len(emitted):]
                 emitted = text
-            if stop or text != raw:   # eos, or a stop marker ended the turn
-                return
+            if stop or len(toks) >= max_tokens or text != raw:
+                return   # eos, cap reached, or a stop marker ended the turn

@@ -242,6 +242,19 @@ class TestLocalLLMProvider:
         if llm.generate("w1 w2", max_tokens=8):
             assert not ans.startswith("LLM unavailable")
 
+    def test_max_tokens_is_the_cap_not_the_bucket(self, checkpoint_dir):
+        # buckets round the DEVICE generation up (static shapes); the
+        # caller-facing contract is max_tokens (LLM_MAX_NEW_TOKENS) — the
+        # word-level tokenizer makes tokens == whitespace words here
+        from financial_rag_tpu.llm.local_llm import LocalLLM
+        llm = LocalLLM(model_dir=checkpoint_dir, dtype="float32")
+        text = llm.generate("w1 w2 w3", max_tokens=3)
+        assert text is None or len(text.split()) <= 3
+        streamed = "".join(llm.generate_stream("w1 w2 w3", max_tokens=3))
+        assert len(streamed.split()) <= 3
+        for t in llm.generate_many(["w1 w2", "w3 w4"], max_tokens=3):
+            assert t is None or len(t.split()) <= 3
+
     def test_missing_checkpoint_degrades_not_crashes(self, tmp_path):
         from financial_rag_tpu.llm.local_llm import LocalLLM
         from financial_rag_tpu.llm.provider import synthesize_answer

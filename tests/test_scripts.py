@@ -71,6 +71,27 @@ def test_bench_suite_cpu_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_e2e_answer_cpu_smoke(tmp_path):
+    """Full streaming answer path (retrieve -> rerank -> local LLM -> SSE)
+    must produce all four rows with a real answer_partial phase."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env["FRAG_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/bench_e2e_answer.py", "--small",
+         "--chunks", "64", "--reps", "2", "--max-new", "8",
+         "--out", str(tmp_path / "rows.json")],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(line) for line in r.stdout.splitlines()
+            if line.startswith("{")]
+    assert len(rows) == 4 and all(row["value"] > 0 for row in rows)
+    ttfa = next(row for row in rows if "first-answer-tokens" in row["metric"])
+    total = next(row for row in rows if "complete" in row["metric"])
+    assert ttfa["value"] <= total["value"]
+
+
+@pytest.mark.slow
 def test_run_end_to_end_script(tmp_path):
     src = tmp_path / "input"
     src.mkdir()
