@@ -178,6 +178,37 @@ class LocalLLM:
                 text = text.split(stop, 1)[0]
         return text
 
+    def warm(self) -> bool:
+        """Precompile the serving answer programs at the shapes real
+        requests hit: the segmented stream (prefill + first segment, then
+        the steady-state segment program) and the one-shot generate, on a
+        synthetic 5-parent answer prompt (the bucket serving prompts land
+        in). Returns True when the provider is live. Device time is one
+        short generation; the point is the tens of seconds of compile the
+        FIRST user request would otherwise stall on."""
+        if not self._ensure_loaded():
+            return False
+        from financial_rag_tpu.llm.prompts import build_answer_prompt
+        filler = ("amount due rent invoice total period lease tax schedule "
+                  * 60)[:3000]
+        prompt = build_answer_prompt(
+            "what is the total amount due for the period?",
+            [{"content": filler, "title": f"warm {i}"} for i in range(5)])
+        gen = self.generate_stream(prompt)
+        next(gen, None)
+        next(gen, None)   # 2nd block compiles the steady-state segment step
+        gen.close()
+        self.generate(prompt)   # default caps == serving caps: same bucket
+        return True
+
+    def _prefill_impl(self, bucket: int) -> str:
+        """Causal flash prefill (ops/causal_flash.py) for the long serving
+        buckets on TPU; XLA elsewhere (resolve_prefill_impl gates)."""
+        from financial_rag_tpu.models.decoder import resolve_prefill_impl
+        return resolve_prefill_impl(
+            self._dcfg, bucket,
+            dtype_bytes=4 if self.dtype == "float32" else 2)
+
     def generate(self, prompt: str, *, max_tokens: int = 1024) -> Optional[str]:
         if not self._ensure_loaded():
             return None
@@ -190,6 +221,7 @@ class LocalLLM:
         input_ids, mask = self._prep(prompt)
         max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        pimpl = self._prefill_impl(input_ids.shape[1])
         spec_k = max(0, int(self.cfg.local_spec_k))
         if spec_k:
             # batch-1 greedy: prompt-lookup speculation emits greedy-
@@ -197,12 +229,14 @@ class LocalLLM:
             # RAG answers quote the context, so drafted spans verify often
             toks, _steps = generate_tokens_spec(
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
-                cfg=self._dcfg, max_new_tokens=max_new, draft_k=spec_k)
+                cfg=self._dcfg, max_new_tokens=max_new, draft_k=spec_k,
+                prefill_impl=pimpl)
         else:
             toks = generate_tokens(
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
                 jax.random.PRNGKey(0), cfg=self._dcfg,
-                max_new_tokens=max_new, temperature=0.0)
+                max_new_tokens=max_new, temperature=0.0,
+                prefill_impl=pimpl)
         # the device generates a full bucket; the CONTRACT is max_tokens
         out = np.asarray(toks)[0].tolist()[:max_tokens]
         if self._dcfg.eos_token_id in out:
@@ -210,7 +244,7 @@ class LocalLLM:
         text = self._clean(self._tok.decode(out, skip_special_tokens=True)).strip()
         return text or None
 
-    def generate_many(self, prompts, *, max_tokens: int = 1024):
+    def generate_many(self, prompts, *, max_tokens=1024):
         """Batched generation: one device dispatch answers every prompt.
 
         At the 0.5B shape a decode step costs 3.0 ms for EIGHT rows vs
@@ -219,6 +253,11 @@ class LocalLLM:
         Prompts LEFT-pad to the largest bucket in the wave; the batch pads
         to a power of two (compile-bounded). Returns one Optional[str] per
         prompt, in order.
+
+        ``max_tokens`` may be one int for the whole wave or a per-prompt
+        sequence: the device decodes to the LARGEST cap's bucket, but each
+        row is trimmed to its OWN cap — coalescing must not relax any
+        individual request's contract.
         """
         if not prompts:
             return []
@@ -229,8 +268,14 @@ class LocalLLM:
 
         from financial_rag_tpu.models.decoder import generate_tokens
 
-        max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
-        max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        if isinstance(max_tokens, (list, tuple)):
+            assert len(max_tokens) == len(prompts)
+            caps = [max(1, min(int(m), self.cfg.local_max_new_tokens))
+                    for m in max_tokens]
+        else:
+            caps = [max(1, min(int(max_tokens),
+                               self.cfg.local_max_new_tokens))] * len(prompts)
+        max_new = _bucket(max(caps), _NEW_TOKEN_BUCKETS)
         rows = [self._prep(p) for p in prompts]
         bucket = max(r[0].shape[1] for r in rows)
         b = _bucket(len(rows), (1, 2, 4, 8, 16, 32))
@@ -243,10 +288,10 @@ class LocalLLM:
         toks = np.asarray(generate_tokens(
             self._params, jnp.asarray(input_ids), jnp.asarray(mask),
             jax.random.PRNGKey(0), cfg=self._dcfg, max_new_tokens=max_new,
-            temperature=0.0))
+            temperature=0.0, prefill_impl=self._prefill_impl(bucket)))
         out = []
         for i in range(len(rows)):
-            row = toks[i].tolist()[:max_tokens]   # bucket -> requested cap
+            row = toks[i].tolist()[:caps[i]]      # bucket -> THIS row's cap
             if self._dcfg.eos_token_id in row:
                 row = row[:row.index(self._dcfg.eos_token_id)]
             text = self._clean(
@@ -271,17 +316,19 @@ class LocalLLM:
         input_ids, mask = self._prep(prompt)
         max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
         max_new = _bucket(max(1, max_tokens), _NEW_TOKEN_BUCKETS)
+        pimpl = self._prefill_impl(input_ids.shape[1])
         spec_k = max(0, int(self.cfg.local_spec_k))
         if spec_k:
             stream = generate_stream_spec(
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
                 cfg=self._dcfg, max_new_tokens=max_new, segment=segment,
-                draft_k=spec_k)
+                draft_k=spec_k, prefill_impl=pimpl)
         else:
             stream = generate_stream(
                 self._params, jnp.asarray(input_ids), jnp.asarray(mask),
                 jax.random.PRNGKey(0), cfg=self._dcfg,
-                max_new_tokens=max_new, segment=segment, temperature=0.0)
+                max_new_tokens=max_new, segment=segment, temperature=0.0,
+                prefill_impl=pimpl)
         toks: list = []
         emitted = ""
         for block in stream:
@@ -294,8 +341,23 @@ class LocalLLM:
             # re-decode the full prefix: BPE merges can span block borders
             raw = self._tok.decode(toks, skip_special_tokens=True)
             text = self._clean(raw)
-            if len(text) > len(emitted):
-                yield text[len(emitted):]
-                emitted = text
-            if stop or len(toks) >= max_tokens or text != raw:
+            done = stop or len(toks) >= max_tokens or text != raw
+            # HOLD BACK trailing U+FFFD: a multi-byte UTF-8 sequence split
+            # across a segment border decodes to replacement chars that the
+            # NEXT block's re-decode rewrites — emitting them would break
+            # the emitted-is-a-prefix invariant the deltas rely on (SSE
+            # consumers append; ''.join(deltas) is the stored answer)
+            stable = text if done else text.rstrip("�")
+            if stable.startswith(emitted):
+                if len(stable) > len(emitted):
+                    yield stable[len(emitted):]
+                    emitted = stable
+            elif done:
+                # non-prefix-monotone decode (shouldn't happen with the
+                # holdback; guards exotic tokenizers). Already-sent deltas
+                # can't be retracted — fail the stream so the caller's
+                # degradation path regenerates a consistent answer.
+                raise RuntimeError(
+                    "stream decode diverged from emitted prefix")
+            if done:
                 return   # eos, cap reached, or a stop marker ended the turn

@@ -327,14 +327,17 @@ def _attend(q, k, v, mask, cfg: DecoderConfig):
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
-def _layer(x, k_cache, v_cache, lp, rope, mask, cfg: DecoderConfig):
+def _layer(x, k_cache, v_cache, lp, rope, mask, cfg: DecoderConfig,
+           attend=None):
     """One decoder layer over new positions, attending to (cache + new).
 
     x: [B, S, H]; k_cache/v_cache: [B, T, KV, D] (positions before the new
     block; T=0 for prefill); rope: (cos, sin) tables from `_rope_tables`
     (hoisted out of the layer scan — identical for every layer); returns
     (x_out, k_new, v_new) where k_new/v_new are the NEW positions'
-    projections [B, S, KV, D].
+    projections [B, S, KV, D]. `attend` overrides the attention op
+    (the Pallas prefill fast path, ops/causal_flash.py) — it receives the
+    post-rope (q, k_all, v_all) and carries its own masking.
     """
     b, s, _ = x.shape
     cos, sin = rope
@@ -347,7 +350,10 @@ def _layer(x, k_cache, v_cache, lp, rope, mask, cfg: DecoderConfig):
     k_new = _rope_apply(k, cos, sin)
     k_all = jnp.concatenate([k_cache, k_new], axis=1) if k_cache.shape[1] else k_new
     v_all = jnp.concatenate([v_cache, v], axis=1) if v_cache.shape[1] else v
-    attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
+    if attend is not None:
+        attn = attend(q, k_all, v_all).reshape(b, s, cfg.hidden_size)
+    else:
+        attn = _attend(q, k_all, v_all, mask, cfg).reshape(b, s, cfg.hidden_size)
     x = x + _mm(attn, lp["o_w"])
     h = _rms_norm(x, lp["ln2"], cfg.norm_eps)
     return x + _ffn(h, lp, cfg), k_new, v
@@ -396,18 +402,42 @@ def decoder_forward(params, input_ids, cfg: DecoderConfig,
 # ---------------------------------------------------------------- generate
 
 def _prefill(params, input_ids, attention_mask, max_total: int,
-             cfg: DecoderConfig):
-    """Run the prompt, return (last-position logits, full-size KV cache)."""
+             cfg: DecoderConfig, prefill_impl: str = "xla"):
+    """Run the prompt, return (last-position logits, full-size KV cache).
+
+    prefill_impl="pallas" routes attention through the causal flash kernel
+    (ops/causal_flash.py): scores never touch HBM, vs ~940 MB/layer of f32
+    scores at the 4096 bucket on the XLA path. Requires contiguous LEFT
+    padding (what every generate caller produces) — gate via
+    `resolve_prefill_impl`. The masks are equivalent: the kernel's
+    (key_pos <= q_pos) & (key_pos >= pad_len) equals tril & (mask == 1)
+    when the zeros of attention_mask form a prefix.
+    """
     b, s = input_ids.shape
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
-    causal = jnp.tril(jnp.ones((s, s), bool))[None]
-    mask = causal & (attention_mask[:, None, :] == 1)
     x = params["embed"][input_ids]
     rope = _rope_tables(positions, cfg.rope_theta, cfg.head_dim)
     empty = jnp.zeros((b, 0, cfg.num_kv_heads, cfg.head_dim), x.dtype)
+    if prefill_impl == "pallas":
+        from financial_rag_tpu.ops.causal_flash import causal_flash_prefill
+
+        pad_len = jnp.int32(s) - jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+        mask = None
+
+        def attend(q, k, v):
+            return causal_flash_prefill(
+                q.reshape(b, s, -1), k.reshape(b, s, -1), v.reshape(b, s, -1),
+                pad_len, num_q_heads=cfg.num_heads,
+                num_kv_heads=cfg.num_kv_heads,
+            ).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    else:
+        attend = None
+        causal = jnp.tril(jnp.ones((s, s), bool))[None]
+        mask = causal & (attention_mask[:, None, :] == 1)
 
     def body(h, lp):
-        h, k_new, v_new = _layer(h, empty, empty, lp, rope, mask, cfg)
+        h, k_new, v_new = _layer(h, empty, empty, lp, rope, mask, cfg,
+                                 attend=attend)
         return h, (k_new, v_new)
 
     x, (k_seq, v_seq) = jax.lax.scan(body, x, params["layers"])
@@ -463,11 +493,41 @@ def _sample(logits, rng, temperature: float, top_k: int):
     return jax.random.categorical(rng, logits / temperature).astype(jnp.int32)
 
 
+def resolve_prefill_impl(cfg: DecoderConfig, seq_len: int, *,
+                         dtype_bytes: int = 2) -> str:
+    """'pallas' when the causal flash prefill kernel applies, else 'xla'.
+
+    pallas needs: a real TPU backend (interpret mode would run the grid in
+    Python), a long enough prompt to beat XLA's fused path (the score
+    traffic the kernel removes scales with S^2 — at 512 it's ~1 GB total,
+    at 4096 ~68 GB), block-divisible lengths (the serving buckets are
+    powers of two), 128-lane-aligned head widths, and K+V of one batch row
+    resident in VMEM (double-buffered) — true for GQA's narrow kv width
+    (128 at the Qwen2-0.5B shape), not for wide-MHA checkpoints. Callers
+    under GSPMD tensor parallelism must stay on 'xla': a Pallas call has
+    no partitioning rule and would be replicated.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if seq_len < 1024 or seq_len % 512:
+        return "xla"
+    hw = cfg.num_heads * cfg.head_dim
+    kvw = cfg.num_kv_heads * cfg.head_dim
+    if hw != cfg.hidden_size or hw % 128 or kvw % 128:
+        return "xla"
+    if 2 * 2 * seq_len * kvw * dtype_bytes > 8 * 1024 * 1024:
+        return "xla"
+    return "pallas"
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
-                                   "top_k"))
+                                   "top_k", "prefill_impl"))
 def generate_tokens(params, input_ids, attention_mask, rng,
                     *, cfg: DecoderConfig, max_new_tokens: int,
-                    temperature: float = 0.0, top_k: int = 0):
+                    temperature: float = 0.0, top_k: int = 0,
+                    prefill_impl: str = "xla"):
     """ONE device dispatch: prefill + max_new_tokens decode steps.
 
     input_ids/attention_mask: [B, S] LEFT-padded prompts. Returns
@@ -478,7 +538,8 @@ def generate_tokens(params, input_ids, attention_mask, rng,
     b, s = input_ids.shape
     max_total = s + max_new_tokens
     last_logits, k_cache, v_cache = _prefill(params, input_ids,
-                                             attention_mask, max_total, cfg)
+                                             attention_mask, max_total, cfg,
+                                             prefill_impl)
     # decode-step mask over cache slots: prompt padding stays invisible
     prompt_mask = jnp.concatenate(
         [attention_mask == 1,
@@ -580,10 +641,11 @@ def _pl_drafts(ctx, slot, valid_from, *, ngram: int, draft_k: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "draft_k",
-                                   "ngram"))
+                                   "ngram", "prefill_impl"))
 def generate_tokens_spec(params, input_ids, attention_mask,
                          *, cfg: DecoderConfig, max_new_tokens: int,
-                         draft_k: int = 7, ngram: int = 3):
+                         draft_k: int = 7, ngram: int = 3,
+                         prefill_impl: str = "xla"):
     """Greedy generation with prompt-lookup speculative decoding. ONE
     device dispatch; returns (tokens [1, max_new_tokens], steps scalar).
 
@@ -608,7 +670,8 @@ def generate_tokens_spec(params, input_ids, attention_mask,
     # slack so a final overshooting block never writes past the buffers
     max_total = s + max_new_tokens + blk
     last_logits, k_cache, v_cache = _prefill(params, input_ids,
-                                             attention_mask, max_total, cfg)
+                                             attention_mask, max_total, cfg,
+                                             prefill_impl)
     prompt_mask = jnp.concatenate(
         [attention_mask == 1,
          jnp.ones((b, max_new_tokens + blk), bool)], axis=1)     # [1, T]
@@ -707,17 +770,17 @@ def _spec_seg_scan(params, state, out0, g0, *, cfg: DecoderConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "segment",
-                                   "draft_k", "ngram"))
+                                   "draft_k", "ngram", "prefill_impl"))
 def _spec_gen_start(params, input_ids, attention_mask, *, cfg: DecoderConfig,
                     max_new_tokens: int, segment: int, draft_k: int,
-                    ngram: int):
+                    ngram: int, prefill_impl: str = "xla"):
     """Prefill + the first speculative segment (includes tok0)."""
     b, s = input_ids.shape
     blk = draft_k + 1
     eos = jnp.int32(cfg.eos_token_id)
     max_total = s + max_new_tokens + blk
     last_logits, kc, vc = _prefill(params, input_ids, attention_mask,
-                                   max_total, cfg)
+                                   max_total, cfg, prefill_impl)
     pm = jnp.concatenate([attention_mask == 1,
                           jnp.ones((b, max_new_tokens + blk), bool)], axis=1)
     pos0 = jnp.sum(attention_mask, axis=1)[0]
@@ -744,7 +807,7 @@ def _spec_gen_more(params, state, *, cfg: DecoderConfig, segment: int,
 def generate_stream_spec(params, input_ids, attention_mask,
                          *, cfg: DecoderConfig, max_new_tokens: int,
                          segment: int = 48, draft_k: int = 7,
-                         ngram: int = 3):
+                         ngram: int = 3, prefill_impl: str = "xla"):
     """Streaming speculative greedy generation (batch 1). Yields [1, n]
     int32 blocks; the concatenation (trimmed at eos) equals greedy
     ``generate_tokens`` output trimmed at eos (exactly in exact
@@ -758,7 +821,7 @@ def generate_stream_spec(params, input_ids, attention_mask,
     block, n, state = _spec_gen_start(params, input_ids, attention_mask,
                                       cfg=cfg, max_new_tokens=max_new_tokens,
                                       segment=seg, draft_k=draft_k,
-                                      ngram=ngram)
+                                      ngram=ngram, prefill_impl=prefill_impl)
     emitted = 0
     while True:
         block_np, n_i = np.asarray(block), int(n)
@@ -805,9 +868,11 @@ def _gen_scan(params, state, rngs, cfg: DecoderConfig,
     return jnp.moveaxis(ys, 0, 1), new_state
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k",
+                                   "prefill_impl"))
 def _gen_start(params, input_ids, attention_mask, rngs,
-               *, cfg: DecoderConfig, temperature: float, top_k: int):
+               *, cfg: DecoderConfig, temperature: float, top_k: int,
+               prefill_impl: str = "xla"):
     """Prefill + the first len(rngs) tokens; returns (tokens, state).
 
     The KV cache is sized for the WHOLE stream up front (prompt +
@@ -821,7 +886,7 @@ def _gen_start(params, input_ids, attention_mask, rngs,
     rngs = rngs[:, 0]   # [seg, 2] keys padded on axis 1 to carry total_new
     max_total = s + total_new
     last_logits, kc, vc = _prefill(params, input_ids, attention_mask,
-                                   max_total, cfg)
+                                   max_total, cfg, prefill_impl)
     pm = jnp.concatenate([attention_mask == 1,
                           jnp.ones((b, total_new), bool)], axis=1)
     tok0 = _sample(last_logits, rngs[0], temperature, top_k)
@@ -847,7 +912,7 @@ def _gen_more(params, state, rngs, *, cfg: DecoderConfig,
 def generate_stream(params, input_ids, attention_mask, rng,
                     *, cfg: DecoderConfig, max_new_tokens: int,
                     segment: int = 48, temperature: float = 0.0,
-                    top_k: int = 0):
+                    top_k: int = 0, prefill_impl: str = "xla"):
     """Yield [B, <=segment] int32 token blocks; concatenated output equals
     ``generate_tokens`` exactly (same rng stream per step). Each block is
     one device dispatch, so time-to-first-tokens ~= prefill + one segment
@@ -864,7 +929,8 @@ def generate_stream(params, input_ids, attention_mask, rng,
     # smuggle total_new into the jitted start via a shape: [seg, total_new, 2]
     keys_start = jnp.broadcast_to(keys[:seg, None, :], (seg, total_new, 2))
     toks, state = _gen_start(params, input_ids, attention_mask, keys_start,
-                             cfg=cfg, temperature=temperature, top_k=top_k)
+                             cfg=cfg, temperature=temperature, top_k=top_k,
+                             prefill_impl=prefill_impl)
     emitted = 0
     while True:
         block = np.asarray(toks)

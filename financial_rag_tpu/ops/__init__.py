@@ -6,6 +6,7 @@ from financial_rag_tpu.ops.topk import (
     topk_matmul_reference,
 )
 from financial_rag_tpu.ops.flash_attention import flash_attention
+from financial_rag_tpu.ops.causal_flash import causal_flash_prefill
 
 __all__ = [
     "masked_mean_l2_normalize",
@@ -14,4 +15,5 @@ __all__ = [
     "topk_matmul",
     "topk_matmul_reference",
     "flash_attention",
+    "causal_flash_prefill",
 ]

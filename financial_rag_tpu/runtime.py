@@ -384,6 +384,24 @@ class Runtime:
             except Exception:  # noqa: BLE001 — warmup must never break ingest
                 log.exception("sweep warmup failed")
         self._warm_rerank()
+        self._warm_llm()
+
+    def _warm_llm(self) -> None:
+        """Precompile the on-device answer programs ONCE (prefill at the
+        5-parent prompt bucket + the streaming and one-shot decode paths):
+        unlike the sweep shapes these don't depend on corpus size, and the
+        first answer request would otherwise stall tens of seconds on
+        compile through the tunnel."""
+        if getattr(self, "_llm_warmed", False):
+            return
+        warm = getattr(self.engine.llm, "warm", None)   # BatchingLLM delegates
+        if warm is None:
+            return
+        try:
+            if warm():
+                self._llm_warmed = True
+        except Exception:  # noqa: BLE001 — warmup must never break ingest
+            log.exception("llm warmup failed")
 
     def _warm_rerank(self) -> None:
         """Precompile the fused rerank forward at the coalesced pair-batch

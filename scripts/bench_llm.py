@@ -253,6 +253,42 @@ def main():
         "params_m": round(n_params / 1e6), "backend": backend,
     })
 
+    # ---- causal flash prefill (ops/causal_flash.py) vs XLA at the ANSWER
+    # bucket (4096: what the 5-parent serving prompt actually hits). ABBA-
+    # paired absolutes (tunnel drift, see bench_serving.py); max_new=64 so
+    # the (identical) decode tail stays small next to the prefill delta.
+    from financial_rag_tpu.models.decoder import resolve_prefill_impl
+
+    pl_ans = 128 if args.small else 4096
+    mn_ans = 8 if args.small else 64
+    if resolve_prefill_impl(cfg, pl_ans) == "pallas" or args.small:
+        ids_a = jnp.asarray(rng.integers(1, 1000, (1, pl_ans)), jnp.int32)
+        am_a = jnp.ones((1, pl_ans), jnp.int32)
+
+        def ans_call(impl):
+            return np.asarray(generate_tokens(
+                params_fused, ids_a, am_a, key, cfg=cfg,
+                max_new_tokens=mn_ans, prefill_impl=impl))
+
+        same = np.array_equal(ans_call("xla"), ans_call("pallas"))  # +compile
+        ts = {"xla": [], "pallas": []}
+        for order in ("xla", "pallas", "pallas", "xla",
+                      "xla", "pallas", "pallas", "xla"):
+            ts[order].append(_timed(lambda: ans_call(order)))
+        t_x, t_p = (sorted(ts["xla"])[1], sorted(ts["pallas"])[1])
+        rows.append({
+            "metric": f"LLM prefill, {pl_ans}-token answer prompt + {mn_ans} decode "
+                      "(int8 fused serving layout): Pallas causal flash vs XLA",
+            "value": round(t_p * 1e3, 1), "unit": "ms",
+            "vs_baseline": round(t_x / t_p, 2),
+            "t_xla_ms": round(t_x * 1e3, 1),
+            "tokens_equal": bool(same),
+            "params_m": round(n_params / 1e6), "backend": backend,
+            "note": "vs_baseline = XLA-prefill wall over Pallas-prefill wall, "
+                    "ABBA-paired medians of 4; scores never touch HBM "
+                    "(~940 MB/layer f32 at this bucket on the XLA path)",
+        })
+
     for r in rows:
         print(json.dumps(r))
     if args.out:

@@ -124,6 +124,46 @@ class TestGeneration:
             jax.random.PRNGKey(0), cfg=cfg, max_new_tokens=7))
         np.testing.assert_array_equal(got, ref)
 
+    def test_pallas_prefill_matches_xla_prefill(self):
+        """prefill_impl='pallas' (ops/causal_flash.py, interpret mode on
+        CPU) must generate the exact same greedy tokens as the XLA prefill,
+        including under left padding — the serving layout."""
+        _, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(11)
+        ids = rng.integers(1, cfg.vocab_size, (2, 16))
+        am = np.ones((2, 16), np.int64)
+        ids[1, :5] = 0
+        am[1, :5] = 0
+        args = (params, jnp.asarray(ids, jnp.int32), jnp.asarray(am, jnp.int32),
+                jax.random.PRNGKey(0))
+        want = np.asarray(generate_tokens(*args, cfg=cfg, max_new_tokens=8,
+                                          prefill_impl="xla"))
+        got = np.asarray(generate_tokens(*args, cfg=cfg, max_new_tokens=8,
+                                         prefill_impl="pallas"))
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_prefill_matches_in_speculative_and_stream(self):
+        from financial_rag_tpu.models.decoder import (
+            generate_stream, generate_tokens_spec)
+        _, cfg, params = _tiny_qwen2()
+        rng = np.random.default_rng(12)
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 16)), jnp.int32)
+        am = jnp.ones((1, 16), jnp.int32)
+        want, _ = generate_tokens_spec(params, ids, am, cfg=cfg,
+                                       max_new_tokens=8, draft_k=3,
+                                       prefill_impl="xla")
+        got, _ = generate_tokens_spec(params, ids, am, cfg=cfg,
+                                      max_new_tokens=8, draft_k=3,
+                                      prefill_impl="pallas")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        sw = np.concatenate([np.asarray(b) for b in generate_stream(
+            params, ids, am, jax.random.PRNGKey(0), cfg=cfg,
+            max_new_tokens=8, segment=3, prefill_impl="pallas")], axis=1)
+        sx = np.concatenate([np.asarray(b) for b in generate_stream(
+            params, ids, am, jax.random.PRNGKey(0), cfg=cfg,
+            max_new_tokens=8, segment=3, prefill_impl="xla")], axis=1)
+        np.testing.assert_array_equal(sw, sx)
+
     def test_decode_steps_consistent_with_full_forward(self):
         """KV-cache decode must reproduce the no-cache forward's argmaxes."""
         cfg = DecoderConfig(vocab_size=131, num_layers=2, hidden_size=32,
@@ -603,6 +643,11 @@ class TestBatchedGeneration:
     def test_generate_many_empty(self, llm):
         assert llm.generate_many([]) == []
 
+    def test_warm_compiles_serving_programs(self, llm):
+        # compiles the streaming + one-shot answer programs; idempotent
+        assert llm.warm() is True
+        assert llm.warm() is True
+
     def test_batching_llm_coalesces(self, llm):
         import threading
         from financial_rag_tpu.serving.batcher import BatchingLLM
@@ -634,3 +679,84 @@ class TestBatchedGeneration:
         streamed = "".join(wrapped.generate_stream("w2 w4", max_tokens=8))
         assert streamed.strip() == full
         wrapped.batcher.close()
+
+    def test_generate_many_per_row_caps(self, llm):
+        # a wave decodes to the LARGEST cap's bucket, but each row keeps its
+        # OWN max_tokens contract
+        prompts = ["w1 w2 w3", "w9 w8 w7"]
+        solo = [llm.generate(prompts[0], max_tokens=2),
+                llm.generate(prompts[1], max_tokens=12)]
+        many = llm.generate_many(prompts, max_tokens=[2, 12])
+        assert many == solo
+
+    def test_batching_llm_respects_per_request_cap(self, llm):
+        import threading
+        from financial_rag_tpu.serving.batcher import BatchingLLM
+        wrapped = BatchingLLM(llm, max_items=8)   # direct=0: always coalesce
+        want = {("w1 w2", 2): llm.generate("w1 w2", max_tokens=2),
+                ("w3 w4", 12): llm.generate("w3 w4", max_tokens=12)}
+        got = {}
+        barrier = threading.Barrier(2)
+
+        def worker(p, mt):
+            barrier.wait()
+            got[(p, mt)] = wrapped.generate(p, max_tokens=mt)
+
+        ts = [threading.Thread(target=worker, args=k) for k in want]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert got == want
+        wrapped.batcher.close()
+
+    def test_batching_llm_direct_lane_uses_inner_generate(self, llm):
+        from financial_rag_tpu.serving.batcher import BatchingLLM
+        wrapped = BatchingLLM(llm, max_items=8, direct=2)
+        out = wrapped.generate("w5 w6", max_tokens=8)
+        assert out == llm.generate("w5 w6", max_tokens=8)
+        st = wrapped.stats()
+        # an idle request must take the inner provider's own (speculative)
+        # batch-1 path, not the batched plain-greedy decode
+        assert st["direct"] == 1 and st["calls"] == 0
+        wrapped.batcher.close()
+
+    def test_stream_holds_back_split_multibyte_chars(self, llm, monkeypatch):
+        # byte-level BPE decodes an INCOMPLETE multi-byte char (split across
+        # two segments) as U+FFFD, then REWRITES it once the next segment
+        # completes it — the delta stream must hold such chars back so
+        # ''.join(deltas) (the stored answer) equals the final decode
+        import financial_rag_tpu.models.decoder as dec
+        eos = llm._dcfg.eos_token_id
+
+        class _ByteishTok:
+            class _Enc:
+                ids = [3]
+
+            def encode(self, text):
+                return self._Enc()
+
+            def decode(self, toks, skip_special_tokens=True):
+                out, i = [], 0
+                while i < len(toks):
+                    if toks[i] == 7:              # first half of a 2-token char
+                        if i + 1 < len(toks):
+                            out.append("é")
+                            i += 2
+                        else:
+                            out.append("�")  # incomplete at the border
+                            i += 1
+                    else:
+                        out.append(f"w{toks[i]} ")
+                        i += 1
+                return "".join(out)
+
+        blocks = [np.array([[3, 7]]), np.array([[4, eos]])]
+        monkeypatch.setattr(dec, "generate_stream",
+                            lambda *a, **k: iter(blocks))
+        monkeypatch.setattr(dec, "generate_stream_spec",
+                            lambda *a, **k: iter(blocks))
+        monkeypatch.setattr(llm, "_tok", _ByteishTok())
+        deltas = list(llm.generate_stream("anything", max_tokens=16))
+        assert deltas == ["w3 ", "é"]
+        assert "�" not in "".join(deltas)

@@ -442,3 +442,60 @@ class TestProbeScores:
         r = np.asarray(probe_scores_reference(
             jnp.asarray(q), jnp.asarray(storage), jnp.asarray(w), jnp.asarray(probes)))
         np.testing.assert_allclose(a, r, atol=2e-2)
+
+
+class TestCausalFlashPrefill:
+    """Oracle parity for the decoder-prefill flash kernel
+    (ops/causal_flash.py): blockwise online softmax vs a dense masked
+    reference, over GQA grouping, left padding, and block shapes."""
+
+    @staticmethod
+    def _oracle(q, k, v, pad, hq_heads, hkv_heads):
+        b, s, _ = q.shape
+        d = q.shape[2] // hq_heads
+        q4 = np.asarray(q, np.float32).reshape(b, s, hq_heads, d)
+        k4 = np.asarray(k, np.float32).reshape(b, s, hkv_heads, d)
+        v4 = np.asarray(v, np.float32).reshape(b, s, hkv_heads, d)
+        g = hq_heads // hkv_heads
+        out = np.zeros((b, s, hq_heads, d), np.float32)
+        for bi in range(b):
+            for h in range(hq_heads):
+                kv = h // g
+                sc = q4[bi, :, h] @ k4[bi, :, kv].T / np.sqrt(d)
+                pos = np.arange(s)
+                allow = (pos[None, :] <= pos[:, None]) & (pos[None, :] >= pad[bi])
+                sc = np.where(allow, sc, -1e30)
+                sc = sc - sc.max(axis=-1, keepdims=True)
+                p = np.exp(sc)
+                p /= p.sum(axis=-1, keepdims=True)
+                out[bi, :, h] = p @ v4[bi, :, kv]
+        return out.reshape(b, s, hq_heads * d)
+
+    @pytest.mark.parametrize("b,s,hq,hkv,d,bq,bk", [
+        (2, 128, 4, 2, 32, 64, 64),     # GQA, multiple tiles both axes
+        (1, 256, 14, 2, 64, 128, 128),  # the Qwen2-0.5B head geometry
+        (2, 256, 8, 8, 32, 256, 64),    # MHA, single q tile
+    ])
+    def test_matches_dense_oracle(self, b, s, hq, hkv, d, bq, bk):
+        from financial_rag_tpu.ops import causal_flash_prefill
+        rng = np.random.default_rng(hash((b, s, hq)) % 2**31)
+        q = jnp.asarray(rng.standard_normal((b, s, hq * d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, hkv * d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv * d)), jnp.float32)
+        pad = rng.integers(0, s // 2, b).astype(np.int32)
+        got = np.asarray(causal_flash_prefill(
+            q, k, v, jnp.asarray(pad), num_q_heads=hq, num_kv_heads=hkv,
+            block_q=bq, block_k=bk))
+        want = self._oracle(q, k, v, pad, hq, hkv)
+        for bi in range(b):   # rows inside the pad are unread by contract
+            np.testing.assert_allclose(got[bi, pad[bi]:], want[bi, pad[bi]:],
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_resolver_gates(self):
+        from financial_rag_tpu.models.decoder import (DecoderConfig,
+                                                      resolve_prefill_impl)
+        qwen = DecoderConfig(vocab_size=1000, num_layers=2, hidden_size=896,
+                             num_heads=14, num_kv_heads=2,
+                             intermediate_size=128)
+        # CPU backend in tests -> always xla, regardless of shape
+        assert resolve_prefill_impl(qwen, 4096) == "xla"
