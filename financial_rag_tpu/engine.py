@@ -141,11 +141,25 @@ class RAGEngine:
             # non-streaming providers fall through untouched
             parents = self._gather_parents(ctx)
             deltas: List[str] = []
-            for delta in stream_answer(self.llm, question, parents,
-                                       related_queries=ctx["queries"][1:]):
-                deltas.append(delta)
-                yield "answer_delta", delta
+            gen = stream_answer(self.llm, question, parents,
+                                related_queries=ctx["queries"][1:])
+            completed = False
+            try:
+                while True:
+                    delta = next(gen)
+                    deltas.append(delta)
+                    yield "answer_delta", delta
+            except StopIteration as fin:
+                completed = bool(fin.value)
             streamed = "".join(deltas).strip()
+            # a mid-generation failure leaves a TRUNCATED fragment: don't
+            # store it as the final answer — regenerate via the
+            # synthesize_answer degradation chain (the final "complete"
+            # event replaces the progressive text client-side)
+            if not completed and streamed:
+                log.warning("answer stream truncated mid-generation; "
+                            "falling back to one-shot synthesis")
+                streamed = ""
             result = self._finish_phase(question, ctx, session_id=session_id,
                                         start=start, parents=parents,
                                         answer=streamed or None)

@@ -134,10 +134,12 @@ def tune_nprobe(
         # No swept nprobe < nlist met the target. Applying nprobe=nlist
         # would silently turn EVERY future search into an exhaustive probe
         # — a permanent throughput cliff auto-triggered after an ingest
-        # sweep (ADVICE r2). Cap the applied fallback at half of nlist (the
-        # largest non-exhaustive sweep step) and warn loudly; the report
-        # still records that the target was unreachable.
-        chosen = max(nlist // 2, 1)
+        # sweep (ADVICE r2). Fall back to the largest point the sweep
+        # actually MEASURED (nlist//2 rounded to a power of two would be an
+        # unmeasured operating point whenever nlist isn't a power of two)
+        # and warn loudly; the report still records that the target was
+        # unreachable.
+        chosen = sweep[-1]["nprobe"] if sweep else 1
         best = sweep[-1]["recall"] if sweep else 1.0
         log.warning(
             "nprobe autotune: no nprobe < nlist reaches recall@%d >= %.2f "

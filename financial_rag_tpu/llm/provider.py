@@ -71,16 +71,24 @@ def stream_answer(provider: LLMProvider, question: str, parents,
     """Generator of answer text deltas, for providers that can stream
     (LocalLLM's segmented on-device generation). Yields nothing when the
     provider can't stream or fails — callers then fall back to
-    synthesize_answer, preserving the degradation contract."""
+    synthesize_answer, preserving the degradation contract.
+
+    RETURNS True (StopIteration.value) only when the stream ran to
+    completion: a mid-generation failure after some deltas were already
+    yielded returns False, so callers know the joined deltas are a
+    TRUNCATED fragment and must regenerate rather than store it as the
+    final answer."""
     gen = getattr(provider, "generate_stream", None)
     if gen is None or not provider.available() or not parents:
-        return
+        return False
     prompt = build_answer_prompt(question, parents, related_queries)
     try:
         yield from gen(prompt, max_tokens=1024)
+        return True
     except Exception as e:  # noqa: BLE001 — stream failure degrades
         log.warning("LLM stream from %s failed: %s",
                     getattr(provider, "name", "?"), e)
+        return False
 
 
 def synthesize_answer(provider: LLMProvider, question: str, parents, related_queries=()) -> str:

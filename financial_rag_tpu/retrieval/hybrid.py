@@ -145,7 +145,17 @@ class HybridRetriever:
         use_batcher = (self.sweep_batcher is not None
                        and not self.sweep_batcher.bypass())
         chained_wave = use_batcher and self.sweep_batcher.supports_chained_waves()
-        if use_batcher and not chained_wave:
+        if chained_wave:
+            # the chained wave encodes its texts on device unconditionally
+            # (it only WRITES the query-embedding cache) — so a HOT repeated
+            # query would re-pay the full encode forward on every arrival.
+            # Check the cache first and route fully-cached requests through
+            # the vector wave instead.
+            cached = self.dual_encoder.cached_all(queries)
+            if cached is not None:
+                chained_wave = False
+                per_model_vecs = cached
+        elif use_batcher:
             with time_block("hybrid.encode"):
                 per_model_vecs = self.dual_encoder.encode_all(queries, use_cache=True)
 

@@ -861,8 +861,17 @@ class BatchingLLM(_Delegate):
                  name: str = "llm") -> None:
         super().__init__(inner)
         self.batcher = MicroBatcher(fn=self._run, max_items=max_items,
-                                    max_wait_ms=max_wait_ms, direct=direct,
-                                    active=active, name=name)
+                                    max_wait_ms=max_wait_ms, name=name)
+        # the direct lane lives HERE, not in the MicroBatcher (whose lane
+        # rides the fn_begin split — generation is one blocking device call
+        # with no begin/finish phases): at or below `direct` concurrency a
+        # request runs the INNER provider's own generate, i.e. LocalLLM's
+        # speculative batch-1 path (0.85 ms/token, BENCH_LLM.json) rather
+        # than the batched plain-greedy decode (1.8 ms/token at batch 1)
+        self._direct = max(0, int(direct))
+        self._active = active if active is not None else ActiveCount()
+        self._owns_gauge = active is None
+        self.direct_calls = 0
 
     def __bool__(self) -> bool:
         # callers do `llm or NullLLM()`; without this Python falls through
@@ -871,16 +880,27 @@ class BatchingLLM(_Delegate):
 
     def _run(self, payloads: List[Any]) -> List[Any]:
         prompts = [p for p, _ in payloads]
-        # one wave, one max_tokens: the smallest cap any member asked for
-        # would truncate its peers, so take the max and trim at eos anyway
-        max_tokens = max(mt for _, mt in payloads)
-        return self.inner.generate_many(prompts, max_tokens=max_tokens)
+        # one wave decodes to the LARGEST member's bucket, but each row is
+        # trimmed to its OWN cap — coalescing must not relax any single
+        # request's max_tokens contract
+        caps = [mt for _, mt in payloads]
+        return self.inner.generate_many(prompts, max_tokens=caps)
 
     def generate(self, prompt: str, *, max_tokens: int = 1024):
         if not self.inner.available():
             return None
-        return self.batcher.submit((prompt, max_tokens))
+        count = (self._active.enter() if self._owns_gauge
+                 else self._active.value())
+        try:
+            if 0 < self._direct and count <= self._direct:
+                self.direct_calls += 1
+                return self.inner.generate(prompt, max_tokens=max_tokens)
+            return self.batcher.submit((prompt, max_tokens))
+        finally:
+            if self._owns_gauge:
+                self._active.leave()
 
     def stats(self) -> dict:
         return {"calls": self.batcher.calls,
-                "submitted": self.batcher.submitted}
+                "submitted": self.batcher.submitted,
+                "direct": self.direct_calls}

@@ -61,6 +61,14 @@ def synthetic_paraphrase_task(
     """
     tokenizer = tokenizer or WordPieceTokenizer()
     rng = np.random.default_rng(seed)
+    from math import comb
+    n_combos = comb(n_concepts, concepts_per_sample)
+    if n_train + n_eval > n_combos:
+        # sample() draws unique combinations — asking for more than exist
+        # would spin forever
+        raise ValueError(
+            f"n_train+n_eval={n_train + n_eval} exceeds the {n_combos} "
+            f"unique {concepts_per_sample}-of-{n_concepts} combinations")
     words = sorted(w for w in tokenizer.vocab
                    if w.isalpha() and w.isascii() and 4 <= len(w) <= 10)
     assert len(words) >= 2 * n_concepts, "vocabulary too small for the task"

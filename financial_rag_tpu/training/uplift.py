@@ -76,6 +76,12 @@ def measure_retrieval_uplift(
     task = synthetic_paraphrase_task(
         tokenizer, n_concepts=n_concepts, n_train=n_train, n_eval=n_eval,
         seed=seed)
+    if batch_size > len(task["train_pairs"]):
+        # drop_remainder=True would yield ZERO batches per epoch and the
+        # step loop below would spin forever waiting for `it` to advance
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the {len(task['train_pairs'])} "
+            f"training pairs — no full batch can form")
     params = random_params(config, seed=seed)
 
     before = eval_recall_at_k(config, params, tokenizer, task["eval_pairs"],
@@ -91,6 +97,7 @@ def measure_retrieval_uplift(
     batcher = PairBatcher(tokenizer, max_seq_len=seq_len)
 
     first_loss = last_loss = None
+    loss = None
     it = 0
     epoch = 0
     while it < steps:
@@ -104,7 +111,7 @@ def measure_retrieval_uplift(
         epoch += 1
     # one host materialization fences the whole run (block_until_ready does
     # not block on the tunneled backend)
-    last_loss = float(loss)
+    last_loss = float(loss) if loss is not None else None
     first_loss = None  # re-measure cheaply: loss at step 1 isn't retained
 
     after = eval_recall_at_k(config, params_sh, tokenizer, task["eval_pairs"],

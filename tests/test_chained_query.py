@@ -257,6 +257,36 @@ class TestChainedWaveLane:
         assert not any(v["calls"] for k, v in st.items()
                        if not k.startswith("chained@"))
 
+    def test_hybrid_hot_query_skips_the_wave_encode(self, stack):
+        """A repeated query whose embeddings are already in the query cache
+        must NOT re-encode on device: the hybrid retriever routes it through
+        the vector (search_all) wave instead of the chained encode wave."""
+        from financial_rag_tpu.utils.embed_cache import EmbeddingCache
+
+        enc, indexes, child_meta = stack
+        # runtime wiring: the retriever's dual_encoder and the batcher's
+        # chain encoder SHARE one EmbeddingCache (runtime.py)
+        cache = EmbeddingCache(max_items=64)
+        dual = DualEncoder(dict(enc.encoders), cache=cache)
+        chain = DualEncoder(dict(enc.encoders), cache=cache)
+        mib = self._batcher(chain, indexes)
+        h = HybridRetriever(dual, indexes, child_meta, sweep_batcher=mib)
+        q = "What is the GST amount on the invoice?"
+        first, _, _ = h.retrieve_children(q)     # cold: chained wave, fills cache
+        st = mib.stats()
+        chained_before = sum(v["calls"] for k, v in st.items()
+                             if k.startswith("chained@"))
+        assert chained_before >= 1
+        second, _, _ = h.retrieve_children(q)    # hot: cache hit, vector wave
+        st = mib.stats()
+        chained_after = sum(v["calls"] for k, v in st.items()
+                            if k.startswith("chained@"))
+        assert chained_after == chained_before   # no second device encode
+        vector_calls = sum(v["calls"] for k, v in st.items()
+                           if not k.startswith("chained@"))
+        assert vector_calls >= 1
+        assert [c["child_id"] for c in second] == [c["child_id"] for c in first]
+
     def test_warmup_compiles_chained_shapes(self, stack):
         enc, indexes, _ = stack
         mib = self._batcher(DualEncoder(dict(enc.encoders)), indexes)

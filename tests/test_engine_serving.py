@@ -647,3 +647,25 @@ class TestStreamingAnswer:
         assert [k for k, _ in phases] == ["chunks", "complete"]
         # degradation: falls back to generate() via synthesize_answer
         assert phases[-1][1]["answer"] == "full fallback answer"
+
+    def test_mid_stream_failure_regenerates_not_truncates(self, stack):
+        """A stream that dies AFTER emitting deltas must not have its
+        truncated fragment stored as the final answer — the engine
+        regenerates via synthesize_answer (the final `answer`/`complete`
+        events replace the progressive text client-side)."""
+        engine, *_ = stack
+
+        class DiesMidStream(self._StreamingLLM):
+            def generate_stream(self, prompt, *, max_tokens=1024):
+                yield "The rent is Rs 42,"
+                raise RuntimeError("tunnel RPC died mid-generation")
+
+        orig = engine.llm
+        engine.llm = DiesMidStream()
+        try:
+            phases = list(engine.query_stream("GST amount"))
+        finally:
+            engine.llm = orig
+        kinds = [k for k, _ in phases]
+        assert kinds == ["chunks", "answer_delta", "complete"]
+        assert phases[-1][1]["answer"] == "full fallback answer"

@@ -460,6 +460,26 @@ def test_contrastive_training_improves_heldout_retrieval():
     assert rep["final_loss"] < 0.5, rep
 
 
+def test_uplift_rejects_batch_larger_than_train_set():
+    """drop_remainder batching yields ZERO batches when batch_size exceeds
+    the pair count — the step loop would spin forever. Must raise instead."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from financial_rag_tpu.config import ModelConfig
+    from financial_rag_tpu.training.uplift import measure_retrieval_uplift
+
+    cfg = ModelConfig(name="tiny-uplift-guard", hidden_size=128, num_layers=2,
+                      num_heads=4, intermediate_size=256, vocab_size=30522,
+                      max_position=64)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    with pytest.raises(ValueError, match="training pairs"):
+        measure_retrieval_uplift(cfg, mesh, steps=2, batch_size=512,
+                                 seq_len=24, k=5, n_concepts=24,
+                                 n_train=64, n_eval=16, seed=0)
+
+
 def test_decoder_tp_generation_matches_single_device():
     """GSPMD tensor-parallel generation (models/decoder.py
     shard_decoder_params: Megatron split over "model", batch over "data")

@@ -84,14 +84,35 @@ class TestTuneNprobe:
         before = ivf.nprobe
         try:
             report = ivf.tune_nprobe(k=10, target_recall=1.01, sample=32)
-            assert report["nprobe"] == max(ivf.nlist // 2, 1)
+            # fallback = the largest point the sweep MEASURED (here 16,
+            # the last power of two below nlist=32)
+            assert report["nprobe"] == report["sweep"][-1]["nprobe"] == 16
             assert report["nprobe"] < ivf.nlist
             assert report["target_met"] is False
+            # the worst-sample recall at the applied point is recorded
+            assert report["recall_min"] is not None
             assert ivf.nprobe == report["nprobe"]  # applied, but capped
             assert any("autotune" in r.getMessage() for r in records)
         finally:
             ivf.nprobe = before  # module-scoped fixture: restore
             tuning_mod.log.removeHandler(handler)
+
+    def test_unreachable_fallback_is_a_measured_point_odd_nlist(self):
+        """With nlist NOT a power of two (e.g. 48), nlist//2 = 24 was never
+        in the 1,2,4,... sweep — the fallback must apply the largest point
+        actually measured (32), never an unmeasured operating point."""
+        rng = np.random.default_rng(7)
+        d, n = 32, 3000
+        x = _clustered(rng, n, d, n_centers=48)
+        idx = IVFIndex(dim=d, nlist=48, list_size=128, nprobe=48)
+        idx.train(x[:1500], iters=6)
+        idx.upsert(np.arange(1, 1 + n, dtype=np.int64), x)
+        report = idx.tune_nprobe(k=10, target_recall=1.01, sample=32,
+                                 apply=False)
+        swept = {s["nprobe"] for s in report["sweep"]}
+        assert report["nprobe"] in swept
+        assert report["nprobe"] == max(swept) == 32
+        assert report["recall_min"] is not None
 
     def test_margin_and_resamples_guard_the_cliff(self, ivf):
         """VERDICT r3 #5: the pick must clear target + margin on the WORST
