@@ -201,6 +201,13 @@ class LLMConfig:
     # batch-1 greedy generation (0 disables). Greedy-equivalent; RAG
     # answers quote retrieved context, so drafts hit often (decoder.py).
     local_spec_k: int = field(default_factory=lambda: _env("LLM_SPEC_K", 7, int))
+    # continuous batching for concurrent answer STREAMS (llm/continuous.py):
+    # engine batch rows (0 disables) and the shared decode window in cache
+    # slots (bounds admissible per-request max_tokens). The engine engages
+    # only above the serving direct-lane threshold, so single-stream
+    # behavior (speculative batch-1) is untouched.
+    local_continuous_rows: int = field(default_factory=lambda: _env("LLM_CONTINUOUS_ROWS", 8, int))
+    local_continuous_window: int = field(default_factory=lambda: _env("LLM_CONTINUOUS_WINDOW", 2048, int))
 
 
 @dataclass

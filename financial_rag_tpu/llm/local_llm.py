@@ -88,6 +88,7 @@ class LocalLLM:
         self._dcfg = None
         self._tok = None
         self._chat: Optional[str] = None     # "chatml" | "inst" | None
+        self._engine = None                  # lazy ContinuousDecodeEngine
 
     # ----------------------------------------------------------------- load
 
@@ -329,6 +330,11 @@ class LocalLLM:
                 jax.random.PRNGKey(0), cfg=self._dcfg,
                 max_new_tokens=max_new, segment=segment, temperature=0.0,
                 prefill_impl=pimpl)
+        yield from self._blocks_to_deltas(stream, max_tokens)
+
+    def _blocks_to_deltas(self, stream, max_tokens: int):
+        """Token blocks [1, n] -> text deltas (shared by the per-request
+        stream and the continuous engine path)."""
         toks: list = []
         emitted = ""
         for block in stream:
@@ -361,3 +367,39 @@ class LocalLLM:
                     "stream decode diverged from emitted prefix")
             if done:
                 return   # eos, cap reached, or a stop marker ended the turn
+        # an ended block stream (the engine stops AT eos without emitting
+        # it) already yielded every stable delta; nothing to flush
+
+    # ------------------------------------------------- continuous batching
+
+    def _get_engine(self):
+        """Lazy shared ContinuousDecodeEngine (llm/continuous.py)."""
+        with self._lock:
+            if self._engine is None:
+                from financial_rag_tpu.llm.continuous import (
+                    ContinuousDecodeEngine)
+                self._engine = ContinuousDecodeEngine(
+                    self._params, self._dcfg,
+                    rows=max(1, int(self.cfg.local_continuous_rows)),
+                    t_prompt=_bucket(self.max_prompt_tokens, _PROMPT_BUCKETS),
+                    window=max(64, int(self.cfg.local_continuous_window)),
+                    prefill_impl_fn=self._prefill_impl)
+            return self._engine
+
+    def stream_via_engine(self, prompt: str, *, max_tokens: int = 1024):
+        """Join the shared continuous-batching decode; yield text deltas.
+
+        Returns None when the engine is disabled or cannot admit the
+        request (window exhausted) — the caller falls back to the
+        per-request `generate_stream`, so routing here never loses a
+        request. Token stream is the same greedy sequence as
+        `generate_stream`'s (exactly so in f32; see llm/continuous.py on
+        bf16 near-ties)."""
+        if int(self.cfg.local_continuous_rows) <= 0 or not self._ensure_loaded():
+            return None
+        input_ids, mask = self._prep(prompt)
+        max_tokens = min(max_tokens, self.cfg.local_max_new_tokens)
+        it = self._get_engine().submit(input_ids, mask, max(1, max_tokens))
+        if it is None:
+            return None
+        return self._blocks_to_deltas(it, max_tokens)

@@ -360,6 +360,11 @@ class RagApi:
     def on_metrics(self, request: Request) -> Response:
         out = {"timings": GLOBAL_TIMER.summary(),
                "system": self.sysperf.snapshot()}
+        # serving coalescing observability: per-wrapper wave stats, incl.
+        # the LLM's direct/coalesced/continuous-engine split
+        stats = getattr(self.engine.llm, "stats", None)
+        if callable(stats):
+            out["llm_batching"] = stats()
         if self.engine.feedback_db is not None:
             out["performance"] = self.engine.feedback_db.performance_summary()
             out["suggestions"] = self.engine.feedback_db.optimization_suggestions()

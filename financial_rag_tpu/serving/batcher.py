@@ -872,6 +872,7 @@ class BatchingLLM(_Delegate):
         self._active = active if active is not None else ActiveCount()
         self._owns_gauge = active is None
         self.direct_calls = 0
+        self.engine_streams = 0
 
     def __bool__(self) -> bool:
         # callers do `llm or NullLLM()`; without this Python falls through
@@ -900,7 +901,29 @@ class BatchingLLM(_Delegate):
             if self._owns_gauge:
                 self._active.leave()
 
+    def generate_stream(self, prompt: str, *, max_tokens: int = 1024,
+                        **kwargs):
+        """Streaming with the same adaptive policy as generate(): at or
+        below `direct` concurrency the request takes the inner provider's
+        own per-request stream (LocalLLM's speculative batch-1 path);
+        above it, concurrent streams JOIN the shared continuous-batching
+        decode (llm/continuous.py) so the per-step weight stream amortizes
+        across them. Falls back to the per-request stream whenever the
+        engine declines (disabled, window exhausted, oversize request) —
+        routing here never degrades a request."""
+        count = self._active.value() + (1 if self._owns_gauge else 0)
+        if self._direct and count > self._direct:
+            via = getattr(self.inner, "stream_via_engine", None)
+            gen = via(prompt, max_tokens=max_tokens) if via else None
+            if gen is not None:
+                self.engine_streams += 1
+                yield from gen
+                return
+        yield from self.inner.generate_stream(prompt, max_tokens=max_tokens,
+                                              **kwargs)
+
     def stats(self) -> dict:
         return {"calls": self.batcher.calls,
                 "submitted": self.batcher.submitted,
-                "direct": self.direct_calls}
+                "direct": self.direct_calls,
+                "engine_streams": self.engine_streams}

@@ -226,6 +226,15 @@ def main():
     rng = np.random.default_rng(3)
     queries = [" ".join(rng.choice(bs.WORDS, size=5)) + f" clause {i}"
                for i in range(args.reps + 2)]
+    # warm exactly as the real server does at startup (Runtime.warm_sweeps ->
+    # _warm_llm): load the checkpoint and precompile prefill/decode/one-shot
+    # programs BEFORE driving the app — the first /search-stream otherwise
+    # spends minutes inside the SSE phase deadline on load + compile
+    log("warming LLM (load + compile prefill/decode programs)...")
+    t0 = time.time()
+    rt.warm_sweeps()
+    log(f"warm done in {time.time()-t0:.1f}s")
+
     log("warmup (compiles encode/sweep/rerank + prefill/decode buckets)...")
     t0 = time.time()
     first, t_done, ans = stream_once(client, queries[0])
