@@ -59,6 +59,13 @@ _CLOSED = object()          # stream sentinel: engine shut down mid-request
 _REJECTED = object()        # stream sentinel: window raced away post-submit
 
 
+class WindowRacedError(RuntimeError):
+    """Raised by a stream iterator when the shared window raced away
+    between submit()'s admission check and the worker's join. Guaranteed
+    to fire BEFORE any token block is yielded, so callers may cleanly
+    fall back to a per-request stream (serving/batcher.py does)."""
+
+
 # ------------------------------------------------------------ device side
 
 def _jit_prefill_row(cfg, prefill_impl: str):
@@ -176,6 +183,11 @@ class ContinuousDecodeEngine:
         self.cfg = cfg
         self.rows = rows
         self.t_prompt = t_prompt
+        # the segment step issues cache writes at [w, w + segment); rounding
+        # the window down to a segment multiple guarantees no step ever
+        # indexes past t_total (dynamic_update_slice clamping would silently
+        # land junk in the last slot otherwise)
+        window = max(segment, (window // segment) * segment)
         self.window = window
         self.segment = segment
         self.t_total = t_prompt + window
@@ -264,10 +276,10 @@ class ContinuousDecodeEngine:
             if item is _CLOSED:
                 raise RuntimeError("continuous decode engine closed")
             if item is _REJECTED:
-                # raced past the admission check; raising (vs ending empty)
-                # routes the caller to its degradation path, which
-                # regenerates instead of storing an empty answer
-                raise RuntimeError("continuous decode window exhausted")
+                # raced past the admission check before ANY token was
+                # emitted; the typed error lets the caller fall back to
+                # its per-request stream instead of abandoning streaming
+                raise WindowRacedError("continuous decode window exhausted")
             yield item
 
     def _prefill_for(self, bucket: int):
@@ -288,8 +300,11 @@ class ContinuousDecodeEngine:
                         self._wake.wait()
                     if self._closed:
                         break
-                self._admit()
+                self._admit()   # per-request failures contained inside
                 if any(s is not None for s in self._slots):
+                    # a failure HERE corrupts shared state (the segment step
+                    # donates the caches) — full shutdown is the only safe
+                    # response, unlike a single joiner's prefill failure
                     self._step_segment(jnp)
         except Exception:  # noqa: BLE001 — a dead worker must not hang streams
             log.exception("continuous decode worker died")
@@ -328,17 +343,28 @@ class ContinuousDecodeEngine:
                 row, w = free[0], self._w
                 self.joins += 1
             s = input_ids.shape[1]
-            tok0, k_seq, v_seq = self._prefill_for(s)(
-                self.params, jnp.asarray(input_ids), jnp.asarray(mask))
+            try:
+                # prefill touches no shared device state — a failure here
+                # (bad bucket compile, transient device error) fails ONLY
+                # this stream; the worker and every live row keep going
+                tok0, k_seq, v_seq = self._prefill_for(s)(
+                    self.params, jnp.asarray(input_ids), jnp.asarray(mask))
+            except Exception:  # noqa: BLE001 — contain per-joiner failures
+                log.exception("joiner prefill failed; failing one stream")
+                stream.q.put(_CLOSED)
+                continue
             off = w - s
             pm_row = np.zeros((self.t_total,), bool)
             pm_row[off: w] = mask[0].astype(bool)
             pm_row[w:] = True
+            # join donates self._state — an exception past this point is
+            # fatal (handled by _run's shutdown path)
             self._state = self._join_fn(
                 self._state, jnp.int32(row), k_seq, v_seq, jnp.int32(off),
                 tok0, jnp.asarray(mask).sum().astype(jnp.int32),
                 jnp.asarray(pm_row))
-            self._slots[row] = stream
+            with self._lock:
+                self._slots[row] = stream
             # tok0 is the request's first OUTPUT token (prefill's argmax),
             # exactly as generate_tokens emits it
             t0 = int(np.asarray(tok0))
@@ -368,4 +394,5 @@ class ContinuousDecodeEngine:
             stream.emitted += int(keep.size)
         if hit_eos or stream.emitted >= stream.cap:
             stream.q.put(None)
-            self._slots[row] = None
+            with self._lock:     # submit()'s admission check reads _slots
+                self._slots[row] = None

@@ -853,8 +853,13 @@ class BatchingLLM(_Delegate):
     ~3.0 ms for eight rows vs ~1.8 ms for one at the 0.5B shape
     (BENCH_LLM.json) — the weights stream from HBM once per step no matter
     the batch — so under load this nearly 5x-es answer throughput. Same
-    adaptive direct-lane policy as the other batchers; generate_stream
-    stays per-request (a stream is inherently one consumer)."""
+    adaptive direct-lane policy as the other batchers. generate_stream
+    routes the same way: at or below `direct` concurrency a stream takes
+    the inner provider's own per-request stream (LocalLLM's speculative
+    batch-1 path); above it, streams JOIN the shared continuous-batching
+    decode (llm/continuous.py), falling back to the per-request stream
+    whenever the engine declines or the window races away before the
+    first token."""
 
     def __init__(self, inner, *, max_items: int = 8, max_wait_ms: float = 0.0,
                  direct: int = 0, active: Optional[ActiveCount] = None,
@@ -911,16 +916,34 @@ class BatchingLLM(_Delegate):
         across them. Falls back to the per-request stream whenever the
         engine declines (disabled, window exhausted, oversize request) —
         routing here never degrades a request."""
-        count = self._active.value() + (1 if self._owns_gauge else 0)
-        if self._direct and count > self._direct:
-            via = getattr(self.inner, "stream_via_engine", None)
-            gen = via(prompt, max_tokens=max_tokens) if via else None
-            if gen is not None:
-                self.engine_streams += 1
-                yield from gen
-                return
-        yield from self.inner.generate_stream(prompt, max_tokens=max_tokens,
-                                              **kwargs)
+        if self._owns_gauge:
+            # bracket the stream's whole lifetime so concurrent streams
+            # see each other's load (mirrors generate())
+            self._active.enter()
+        try:
+            count = self._active.value()
+            if self._direct and count > self._direct:
+                via = getattr(self.inner, "stream_via_engine", None)
+                gen = via(prompt, max_tokens=max_tokens) if via else None
+                if gen is not None:
+                    from financial_rag_tpu.llm.continuous import (
+                        WindowRacedError)
+                    self.engine_streams += 1
+                    emitted = False
+                    try:
+                        for delta in gen:
+                            emitted = True
+                            yield delta
+                        return
+                    except WindowRacedError:
+                        if emitted:   # can't happen (raced pre-first-token),
+                            raise     # but never retract sent deltas
+                        # zero deltas out: clean per-request fallback
+            yield from self.inner.generate_stream(
+                prompt, max_tokens=max_tokens, **kwargs)
+        finally:
+            if self._owns_gauge:
+                self._active.leave()
 
     def stats(self) -> dict:
         return {"calls": self.batcher.calls,

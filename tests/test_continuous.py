@@ -115,6 +115,70 @@ class TestEngineParity:
             eng.close()
 
 
+class TestHardening:
+    def test_window_rounds_down_to_segment_multiple(self, setup):
+        """A window that isn't a segment multiple must be rounded down so
+        the last segment never issues cache writes past t_total (where
+        dynamic_update_slice clamping would corrupt the final slot)."""
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=2, t_prompt=16,
+                                     window=18, segment=4)
+        try:
+            assert eng.window == 16
+            assert eng.t_total == 32
+            rng = np.random.default_rng(9)
+            ids, mask = _prompt(rng, cfg, s_real=6, bucket=8)
+            got = _drain(eng.submit(ids, mask, 16))
+            assert got == _reference(params, cfg, ids, mask, 16)
+        finally:
+            eng.close()
+
+    def test_prefill_failure_fails_one_stream_not_engine(self, setup):
+        """A joiner whose prefill blows up must fail only its own stream;
+        the worker stays alive and later submissions stream normally."""
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=2, t_prompt=16,
+                                     window=32, segment=4)
+        try:
+            def boom(bucket):
+                def fn(*a, **k):
+                    raise ValueError("transient prefill failure")
+                return fn
+            real = eng._prefill_for
+            eng._prefill_for = boom
+            rng = np.random.default_rng(10)
+            ids, mask = _prompt(rng, cfg, s_real=6, bucket=8)
+            it = eng.submit(ids, mask, 8)
+            assert it is not None
+            with pytest.raises(RuntimeError):
+                _drain(it)
+            eng._prefill_for = real
+            got = _drain(eng.submit(ids, mask, 8))
+            assert got == _reference(params, cfg, ids, mask, 8)
+        finally:
+            eng.close()
+
+    def test_window_race_raises_typed_error_before_first_token(self, setup):
+        """_REJECTED surfaces as WindowRacedError so the serving layer can
+        distinguish zero-emitted races (clean fallback) from mid-stream
+        failures (regeneration path)."""
+        from financial_rag_tpu.llm.continuous import (
+            _REJECTED, ContinuousDecodeEngine, WindowRacedError)
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=2, t_prompt=16,
+                                     window=32, segment=4)
+        try:
+            from financial_rag_tpu.llm.continuous import _Stream
+            s = _Stream(cap=8)
+            s.q.put(_REJECTED)
+            with pytest.raises(WindowRacedError):
+                next(eng._iter_blocks(s))
+        finally:
+            eng.close()
+
+
 class TestAdmission:
     def test_oversize_cap_and_prompt_rejected(self, setup):
         from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
@@ -232,4 +296,50 @@ class TestLocalLLMIntegration:
         finally:
             for _ in range(3):
                 gauge.leave()
+        assert high == want and wrapped.engine_streams == 1
+
+    def test_window_race_falls_back_to_per_request_stream(self, llm):
+        """A stream whose engine admission races away before the first
+        token must silently fall back to the inner per-request stream —
+        the user still gets a streamed answer, not an error."""
+        from financial_rag_tpu.llm.continuous import WindowRacedError
+        from financial_rag_tpu.serving.batcher import ActiveCount, BatchingLLM
+
+        prompt = "w8 w9 the lock in period"
+        want = "".join(llm.generate_stream(prompt, max_tokens=8))
+
+        def raced(prompt, *, max_tokens):
+            def gen():
+                raise WindowRacedError("window exhausted")
+                yield  # pragma: no cover
+            return gen()
+
+        gauge = ActiveCount()
+        wrapped = BatchingLLM(llm, direct=1, active=gauge)
+        wrapped.inner.stream_via_engine = raced
+        for _ in range(2):
+            gauge.enter()
+        try:
+            got = "".join(wrapped.generate_stream(prompt, max_tokens=8))
+        finally:
+            for _ in range(2):
+                gauge.leave()
+            del wrapped.inner.stream_via_engine
+        assert got == want and wrapped.engine_streams == 1
+
+    def test_owned_gauge_streams_see_each_other(self, llm):
+        """In owned-gauge mode concurrent streams must raise the count so
+        the continuous engine can engage: a second stream opened while the
+        first is still being consumed routes via the engine."""
+        from financial_rag_tpu.serving.batcher import BatchingLLM
+
+        prompt = "w10 w11 gst amount"
+        want = "".join(llm.generate_stream(prompt, max_tokens=8))
+
+        wrapped = BatchingLLM(llm, direct=1)       # no gauge passed: owned
+        g1 = wrapped.generate_stream(prompt, max_tokens=8)
+        first = next(g1)                           # g1 holds the gauge now
+        high = "".join(wrapped.generate_stream(prompt, max_tokens=8))
+        rest = "".join(g1)
+        assert first + rest == want
         assert high == want and wrapped.engine_streams == 1
