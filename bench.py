@@ -15,10 +15,15 @@
 Timing discipline (axon tunnel: async dispatch, ~8ms/transfer): iterations
 are chained inside one lax.scan with a data dependency, and the reported
 time is the SLOPE between two scan lengths, so fixed dispatch+fetch
-overhead cancels. Profiler-verified to match the device timeline.
+overhead cancels. Variance discipline (VERDICT r4 #4 — the unflagged
+r02->r03 1.26M->741k swing): every metric is the MEDIAN of >=5 slope reps
+with the IQR reported alongside, plus the jax.profiler device time per
+iteration (XLA-Modules line of the /device plane), so a round-over-round
+swing is attributable in one read: wide IQR = tunnel/host noise, shifted
+device_us = a real kernel regression.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
-"extra_metrics": [...]}.
+"reps", "iqr", "device_us", "extra_metrics": [...]}.
 """
 
 import json
@@ -30,22 +35,86 @@ import numpy as np
 BASELINE_QPS = 50_000.0          # BASELINE.md serving target
 BASELINE_ENCODE_CPS = 3_300.0    # round-1 measured chunks/s/chip (s=512)
 TARGET_RERANK_MS = 25.0          # VERDICT r1 #4 target for 64x512 pairs
+REPS = 5
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def slope_time(make_loop, iters_a: int, iters_b: int) -> float:
-    """Seconds per iteration: slope between two scan lengths."""
-    t = {}
+class Measure:
+    """Per-iteration seconds: median slope over REPS, IQR, device time."""
+
+    __slots__ = ("sec", "iqr_sec", "reps", "device_us")
+
+    def __init__(self, sec, iqr_sec, reps, device_us):
+        self.sec = sec
+        self.iqr_sec = iqr_sec
+        self.reps = reps
+        self.device_us = device_us
+
+    def fields(self) -> dict:
+        """The variance-attribution fields every emitted metric carries."""
+        out = {"reps": self.reps, "iqr": round(self.iqr_sec * 1e3, 4)}
+        if self.device_us is not None:
+            out["device_us"] = round(self.device_us, 1)
+        return out
+
+
+def _device_us_per_iter(loop_fn, length) -> float | None:
+    """Sum of XLA-module device durations for one loop() call, per scan
+    iteration. None when no device plane exists (CPU) or parsing fails."""
+    import glob
+    import tempfile
+
+    import jax
+
+    try:
+        d = tempfile.mkdtemp(prefix="benchprof_")
+        jax.profiler.start_trace(d)
+        try:
+            _ = float(loop_fn())
+        finally:
+            jax.profiler.stop_trace()
+        files = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+        if not files:
+            return None
+        with open(files[0], "rb") as f:
+            pd = jax.profiler.ProfileData.from_serialized_xspace(f.read())
+        total_ns = 0
+        for plane in pd.planes:
+            if not plane.name.startswith("/device:"):
+                continue
+            for line in plane.lines:
+                if line.name == "XLA Modules":
+                    total_ns += sum(e.duration_ns for e in line.events)
+        if total_ns <= 0:
+            return None
+        return total_ns / 1e3 / length
+    except Exception as e:  # profiling must never sink the bench
+        log(f"device-time capture failed: {e!r}")
+        return None
+
+
+def slope_time(make_loop, iters_a: int, iters_b: int,
+               reps: int = REPS) -> Measure:
+    """Seconds per iteration: median over `reps` slopes between two scan
+    lengths, with IQR and profiler device time."""
+    loops = {length: make_loop(length) for length in (iters_a, iters_b)}
     for length in (iters_a, iters_b):
-        loop = make_loop(length)
-        _ = float(loop())  # compile + warm
-        t0 = time.time()
-        _ = float(loop())
-        t[length] = time.time() - t0
-    return max((t[iters_b] - t[iters_a]) / (iters_b - iters_a), 1e-9)
+        _ = float(loops[length]())  # compile + warm
+    slopes = []
+    for _ in range(reps):
+        t = {}
+        for length in (iters_a, iters_b):
+            t0 = time.time()
+            _ = float(loops[length]())
+            t[length] = time.time() - t0
+        slopes.append(max((t[iters_b] - t[iters_a]) / (iters_b - iters_a),
+                          1e-9))
+    q1, med, q3 = (float(x) for x in np.percentile(slopes, [25, 50, 75]))
+    dev = _device_us_per_iter(loops[iters_b], iters_b)
+    return Measure(med, q3 - q1, reps, dev)
 
 
 def bench_search(jax, jnp, on_tpu):
@@ -79,7 +148,8 @@ def bench_search(jax, jnp, on_tpu):
         return lambda: jnp.sum(loop(qd))
 
     iters = (100, 500) if on_tpu else (5, 15)
-    dt = slope_time(make_loop, *iters)
+    m = slope_time(make_loop, *iters)
+    dt = m.sec
     qps = nq / dt
 
     s, i = jax.jit(raw)(qd)
@@ -87,8 +157,9 @@ def bench_search(jax, jnp, on_tpu):
     order = np.argsort(-sref, axis=1, kind="stable")[:, :k]
     got = np.asarray(i)
     recall = float(np.mean([len(set(a) & set(b)) / k for a, b in zip(got, order)]))
-    log(f"search: {dt * 1e3:.3f} ms/batch of {nq} -> {qps:,.0f} QPS, recall@{k}={recall:.4f}")
-    return qps, dt, recall, n, nq, k
+    log(f"search: {dt * 1e3:.3f} ms/batch of {nq} (iqr {m.iqr_sec * 1e3:.3f}, "
+        f"device {m.device_us or 0:.0f} us) -> {qps:,.0f} QPS, recall@{k}={recall:.4f}")
+    return qps, m, recall, n, nq, k
 
 
 def bench_ivf(jax, jnp, on_tpu):
@@ -136,11 +207,12 @@ def bench_ivf(jax, jnp, on_tpu):
         return lambda: jnp.sum(loop(qd, storage, valid, cents))
 
     iters = (100, 500) if on_tpu else (3, 9)
-    dt = slope_time(make_loop, *iters)
+    m = slope_time(make_loop, *iters)
+    dt = m.sec
     qps = 16 / dt
     log(f"ivf: {dt * 1e3:.3f} ms/16q @ {n//1000}k (nprobe={nprobe} tuned, "
         f"nlist={nlist}) -> {qps:,.0f} QPS, recall@10={recall:.4f}")
-    return qps, dt, nprobe, nlist, recall, n
+    return qps, m, nprobe, nlist, recall, n
 
 
 def bench_encode(jax, jnp, on_tpu):
@@ -173,10 +245,11 @@ def bench_encode(jax, jnp, on_tpu):
         return lambda: loop(0.0)
 
     iters = (10, 40) if on_tpu else (2, 6)
-    dt = slope_time(make_loop, *iters)
+    m = slope_time(make_loop, *iters)
+    dt = m.sec
     cps = B / dt
     log(f"encode: {dt * 1e3:.2f} ms / {B}x{S} -> {cps:,.0f} chunks/s/chip")
-    return cps, dt, B, S
+    return cps, m, B, S
 
 
 def bench_rerank(jax, jnp, on_tpu):
@@ -209,9 +282,9 @@ def bench_rerank(jax, jnp, on_tpu):
         return lambda: loop(0.0)
 
     iters = (10, 40) if on_tpu else (2, 6)
-    dt = slope_time(make_loop, *iters)
-    log(f"rerank: {dt * 1e3:.2f} ms / {B}x{S} pairs")
-    return dt, B, S
+    m = slope_time(make_loop, *iters)
+    log(f"rerank: {m.sec * 1e3:.2f} ms / {B}x{S} pairs")
+    return m, B, S
 
 
 def main() -> None:
@@ -233,18 +306,19 @@ def main() -> None:
     on_tpu = backend == "tpu"
     log(f"backend={backend} devices={jax.devices()}")
 
-    qps, dt_search, recall, n, nq, k = bench_search(jax, jnp, on_tpu)
-    cps, dt_enc, eb, es = bench_encode(jax, jnp, on_tpu)
-    dt_rr, rb, rs = bench_rerank(jax, jnp, on_tpu)
-    rr_ms = dt_rr * 1e3
+    qps, m_search, recall, n, nq, k = bench_search(jax, jnp, on_tpu)
+    cps, m_enc, eb, es = bench_encode(jax, jnp, on_tpu)
+    m_rr, rb, rs = bench_rerank(jax, jnp, on_tpu)
+    rr_ms = m_rr.sec * 1e3
     ivf_row = None
     try:
-        iqps, _, inprobe, inlist, irecall, in_ = bench_ivf(jax, jnp, on_tpu)
+        iqps, m_ivf, inprobe, inlist, irecall, in_ = bench_ivf(jax, jnp, on_tpu)
         ivf_row = {"metric": f"ivf search QPS @ {in_ // 1000}k chunks "
                    f"(nprobe={inprobe} tuned, nlist={inlist})",
                    "value": round(iqps, 1), "unit": "qps",
                    "vs_baseline": round(iqps / BASELINE_QPS, 3),
-                   "recall_at_10_vs_exhaustive": round(irecall, 4)}
+                   "recall_at_10_vs_exhaustive": round(irecall, 4),
+                   **m_ivf.fields()}
     except Exception as e:  # IVF is an extra metric; never sink the bench
         log(f"ivf bench skipped: {e!r}")
 
@@ -254,18 +328,21 @@ def main() -> None:
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "recall_at_24_vs_f32_oracle": round(recall, 4),
-        "latency_ms_per_batch": round(dt_search * 1e3, 3),
+        "latency_ms_per_batch": round(m_search.sec * 1e3, 3),
         "n_chunks": n,
         "backend": backend,
+        **m_search.fields(),
         "extra_metrics": [
             {"metric": f"encode throughput ({eb}x{es}, 12L, "
              f"{'pallas attn bf16' if on_tpu else 'xla f32'})",
              "value": round(cps, 1), "unit": "chunks/s/chip",
-             "vs_baseline": round(cps / BASELINE_ENCODE_CPS, 3)},
+             "vs_baseline": round(cps / BASELINE_ENCODE_CPS, 3),
+             **m_enc.fields()},
             {"metric": f"rerank latency ({rb}x{rs} pairs, 6L, "
              f"{'pallas+fused bf16' if on_tpu else 'xla f32'})",
              "value": round(rr_ms, 2), "unit": "ms",
-             "vs_baseline": round(TARGET_RERANK_MS / rr_ms, 3)},
+             "vs_baseline": round(TARGET_RERANK_MS / rr_ms, 3),
+             **m_rr.fields()},
         ] + ([ivf_row] if ivf_row else []),
     }))
 

@@ -133,7 +133,7 @@ def main():
         return lambda: jnp.sum(loop(qd, toks, tmask, valid))
 
     iters = (20, 100) if on_tpu else (3, 9)
-    dt = slope_time(make_loop, *iters)
+    dt = slope_time(make_loop, *iters).sec
     qps = 1.0 / dt
     bytes_per_query = idx.capacity * mct * d * (2 if dtype == jnp.bfloat16 else 4)
     gbps = bytes_per_query / dt / 1e9

@@ -70,7 +70,7 @@ def main():
         return lambda: float(loop(params, opt_state, batch))
 
     with mesh:
-        per_step = slope_time(make_loop, 3, 13)
+        per_step = slope_time(make_loop, 3, 13).sec
     print(json.dumps({
         "metric": (f"contrastive train step ({B}x2x{S} pairs, 12L bf16, "
                    f"{impl} attn, dp={len(devices)})"),

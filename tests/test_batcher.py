@@ -34,6 +34,7 @@ def _run_threads(n, fn):
 
 
 class TestMicroBatcher:
+    @pytest.mark.smoke
     def test_coalesces_concurrent_submits(self):
         mb = MicroBatcher(lambda xs: [x * 2 for x in xs],
                           max_items=64, max_wait_ms=100.0)
@@ -206,6 +207,7 @@ class TestBatchingIndex:
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         return x
 
+    @pytest.mark.smoke
     def test_search_matches_unbatched(self, corpus):
         inner = FlatIndex(dim=64, capacity=1024, name="mb_t")
         inner.upsert(np.arange(1, 513, dtype=np.int64), corpus)

@@ -137,6 +137,7 @@ def test_cross_encoder_parity(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_random_params_deterministic():
     cfg = _model_config(num_labels=1)
     a = random_params(cfg, seed=7)
@@ -147,6 +148,7 @@ def test_random_params_deterministic():
     assert "classifier" in a
 
 
+@pytest.mark.smoke
 def test_npz_roundtrip(tmp_path):
     from financial_rag_tpu.models.checkpoint import load_params_npz, save_params_npz
 

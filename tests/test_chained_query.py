@@ -76,6 +76,7 @@ class _HostOnlyIndex:
 
 
 class TestChainedQueryPath:
+    @pytest.mark.smoke
     def test_parity_with_host_handoff(self, stack):
         enc, indexes, child_meta = stack
         q = "What is the GST amount on the invoice?"

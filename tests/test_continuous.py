@@ -61,6 +61,7 @@ def setup():
 
 
 class TestEngineParity:
+    @pytest.mark.smoke
     def test_solo_stream_matches_batch1_greedy(self, setup):
         from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
         cfg, params = setup

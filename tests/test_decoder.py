@@ -183,6 +183,7 @@ class TestGeneration:
             assert nxt == int(expect)
             seq.append(nxt)
 
+    @pytest.mark.smoke
     def test_eos_rows_keep_emitting_eos(self):
         """Once a row hits eos its tail is all eos, so host-side trimming is
         independent of max_new_tokens."""

@@ -112,6 +112,7 @@ class TestEngine:
         out = engine.query("What is the total sum of all invoice amounts combined?")
         assert out["query_strategy"] == "Aggregation"
 
+    @pytest.mark.smoke
     def test_health(self, stack):
         engine, *_ = stack
         h = engine.health()
@@ -121,6 +122,7 @@ class TestEngine:
 
 
 class TestAPI:
+    @pytest.mark.smoke
     def test_search_endpoint(self, stack):
         engine, client, *_ = stack
         resp = client.post("/search", json={"query": "Who is the lessor?"})
@@ -140,6 +142,7 @@ class TestAPI:
         assert client.post("/search", json={"query": ""}).status_code == 400
         assert client.post("/search", json={"query": "x" * 5000}).status_code == 400
 
+    @pytest.mark.smoke
     def test_search_stream_events(self, stack):
         engine, client, *_ = stack
         resp = client.post("/search-stream", json={"query": "GST amount"})
@@ -274,6 +277,7 @@ class TestAPI:
 
 
 class TestFormatting:
+    @pytest.mark.smoke
     def test_ai_response_table_conversion(self):
         out = format_ai_response(
             "<p>Summary line</p><table><tr><th>Year</th><th>Rent</th></tr>"
@@ -323,6 +327,7 @@ class TestFormatting:
 
 
 class TestFeedbackDB:
+    @pytest.mark.smoke
     def test_cache_ttl(self, tmp_path):
         db = FeedbackDatabase(tmp_path / "f.db", cache_ttl_s=10.0)
         db.cache_put("h1", "q", {"answer": "a"}, now=1000.0)

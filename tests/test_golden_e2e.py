@@ -91,6 +91,7 @@ def test_golden_question_answerable(engine, question, expected):
     assert expected in context, f"{question!r}: {expected!r} not retrieved"
 
 
+@pytest.mark.smoke
 def test_hit_at_3_rate(engine):
     """Aggregate retrieval quality: the right chunk must rank top-3 for at
     least 8 of 9 golden questions."""

@@ -2,6 +2,7 @@
 (SURVEY.md §7.2 step 3: 'exact-search recall@10 must equal a numpy oracle')."""
 
 import numpy as np
+import pytest
 
 from financial_rag_tpu.index import FlatIndex, IVFIndex
 from financial_rag_tpu.index.ivf import kmeans
@@ -19,6 +20,7 @@ def _oracle(q, x, k):
 
 
 class TestFlatIndex:
+    @pytest.mark.smoke
     def test_upsert_search_exact(self, rng):
         d, n, k = 384, 3000, 10
         x = _unit(rng, n, d)
@@ -181,6 +183,7 @@ class TestKMeans:
 
 
 class TestIVFIndex:
+    @pytest.mark.smoke
     def test_recall_vs_oracle(self):
         # clustered data (like real sentence embeddings); uniform random
         # vectors have no IVF-exploitable structure by construction
@@ -356,6 +359,7 @@ class TestEmptyBatches:
 
 
 class TestStores:
+    @pytest.mark.smoke
     def test_snowflake_unique_and_sortable(self):
         from financial_rag_tpu.store import SnowflakeGenerator
 
@@ -366,6 +370,7 @@ class TestStores:
         import time
         assert abs(SnowflakeGenerator.timestamp_ms(ids[-1]) / 1000 - time.time()) < 5
 
+    @pytest.mark.smoke
     def test_parent_store_roundtrip(self, tmp_path):
         from financial_rag_tpu.store import ParentStore
 

@@ -292,6 +292,7 @@ def test_ivf_materialize_during_in_progress_mutation_blocks_then_retries(rng):
     assert got_scores[0, 0] == pytest.approx(1.0, abs=1e-3)
 
 
+@pytest.mark.smoke
 def test_flat_materialize_after_compact_is_consistent(rng):
     """compact() remaps every slot; a deferred materializer must re-run
     rather than resolve old slots through the new map."""

@@ -18,6 +18,7 @@ from financial_rag_tpu.store import ChildMetaStore, ParentStore
 
 
 class TestNormalize:
+    @pytest.mark.smoke
     def test_html_stripping(self):
         t = normalize_text("<table><tr><th>Rent</th><td>42,800</td></tr></table>")
         assert "<" not in t and "Rent" in t and "42,800" in t
@@ -65,6 +66,7 @@ class TestMarkerShapes:
         blocks = parse_marker_blocks([{"content": "z", "page": 7}])
         assert blocks == [{"content": "z", "page": 7}]
 
+    @pytest.mark.smoke
     def test_reference_fixture_parses(self, reference_fixture_json):
         blocks = parse_marker_blocks(reference_fixture_json)
         assert len(blocks) >= 1
@@ -90,6 +92,7 @@ class TestChunker:
         assert parents[0].page_start == 0
         assert parents[-1].page_end == 5
 
+    @pytest.mark.smoke
     def test_children_sentence_overlap(self):
         cfg = ChunkingConfig()
         cfg.child_max_tokens = 30

@@ -2,6 +2,7 @@
 quality with lexical token embeddings."""
 
 import numpy as np
+import pytest
 
 from financial_rag_tpu.index import MultiVectorIndex
 from financial_rag_tpu.models.hashing import HashingEncoder
@@ -18,6 +19,7 @@ def _np_maxsim(qv, token_store, masks):
 
 
 class TestMultiVectorIndex:
+    @pytest.mark.smoke
     def test_exact_maxsim_vs_oracle(self, rng):
         d, tc, n, tq, k = 64, 16, 200, 5, 10
         token_counts = rng.integers(3, tc, n)

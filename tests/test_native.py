@@ -37,6 +37,7 @@ def nat():
 
 class TestNativeWordPiece:
     @pytest.mark.parametrize("text", ASCII_CASES)
+    @pytest.mark.smoke
     def test_parity_with_python(self, py_tok, nat, text):
         expected = py_tok.convert_tokens_to_ids(py_tok.tokenize(text))
         assert nat.tokenize_ids(text) == expected
@@ -46,6 +47,7 @@ class TestNativeWordPiece:
         for text, ids in zip(ASCII_CASES, outs):
             assert ids == nat.tokenize_ids(text)[:510]
 
+    @pytest.mark.smoke
     def test_tokenizer_integration_routes_native(self):
         tok = WordPieceTokenizer(use_native=True)
         ref = WordPieceTokenizer(use_native=False)
@@ -75,6 +77,7 @@ class TestNativeBM25:
         "rent rent rent repeated term document",
     ]
 
+    @pytest.mark.smoke
     def test_parity_with_python(self):
         nb = native.NativeBM25(self.CORPUS)
         pb = BM25([t.split() for t in self.CORPUS])

@@ -26,6 +26,7 @@ def _np_topk(q, x, valid, k):
 
 
 class TestPoolNorm:
+    @pytest.mark.smoke
     def test_matches_reference(self, rng):
         b, s, h = 5, 64, 384
         hidden = rng.standard_normal((b, s, h)).astype(np.float32)
@@ -75,6 +76,7 @@ class TestTopkMatmul:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
 
+    @pytest.mark.smoke
     def test_tie_breaking_lower_index(self):
         d, n, k = 128, 1024, 4
         x = np.zeros((n, d), np.float32)
@@ -129,6 +131,7 @@ class TestBucketedTopk:
         np.testing.assert_array_equal(np.asarray(i), ref_i)
         np.testing.assert_allclose(np.asarray(s), ref_s, atol=1e-5)
 
+    @pytest.mark.smoke
     def test_fused_matches_unfused(self, rng):
         nq, n, d, k, L = 6, 4096, 128, 12, 2048
         q = rng.standard_normal((nq, d)).astype(np.float32)
@@ -174,6 +177,7 @@ class TestBucketedTopk:
 
 
 class TestFusedFFN:
+    @pytest.mark.smoke
     def test_matches_xla_reference(self, rng):
         from financial_rag_tpu.ops.fused_ffn import fused_ffn
 
@@ -279,6 +283,7 @@ class TestFlashAttention:
         out = np.einsum("bnqk,bnkd->bnqd", p, vh)
         return out.transpose(0, 2, 1, 3).reshape(b, s, h)
 
+    @pytest.mark.smoke
     def test_matches_reference(self, rng):
         b, s, h, nh = 2, 64, 384, 12
         q = rng.standard_normal((b, s, h)).astype(np.float32)
@@ -386,6 +391,7 @@ class TestProbeScores:
                 ref[bi, pi] = s * w[li] + (w[li] > 0) * 1e5 - 1e5
         return ref
 
+    @pytest.mark.smoke
     def test_matches_oracle_with_empty_slots(self, rng):
         from financial_rag_tpu.ops.ivf_probe import probe_scores
 

@@ -24,6 +24,7 @@ def eight_devices():
 
 
 class TestMesh:
+    @pytest.mark.smoke
     def test_make_mesh_wildcard(self, eight_devices):
         mesh = make_mesh([("data", -1), ("model", 2)], eight_devices)
         assert mesh.shape == {"data": 4, "model": 2}
@@ -34,6 +35,7 @@ class TestMesh:
 
 
 class TestShardedIndex:
+    @pytest.mark.smoke
     def test_matches_numpy_oracle_and_shard_invariance(self, eight_devices):
         rng = np.random.default_rng(7)
         d, n, k = 128, 4096, 10
@@ -379,6 +381,7 @@ class TestTraining:
 
 
 class TestGraftEntry:
+    @pytest.mark.smoke
     def test_entry_compiles(self):
         import sys
         sys.path.insert(0, "/root/repo")

@@ -180,6 +180,7 @@ class TestOnDiskCheckpointPath:
         out = rt.engine.query("credit note number")
         assert out["success"] and out["top_children_chunks"]
 
+    @pytest.mark.smoke
     def test_lfs_stub_still_falls_back(self, tmp_path, monkeypatch):
         """The reference's stub files keep routing to the deterministic
         fallback (graceful degradation, not a crash)."""

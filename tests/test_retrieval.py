@@ -25,6 +25,7 @@ from financial_rag_tpu.store import ChildMetaStore, ParentStore
 
 
 class TestFusion:
+    @pytest.mark.smoke
     def test_rrf_math(self):
         # two lists; id 'a' rank1+rank2, 'b' rank2, 'c' rank1
         fused = rrf_fuse([["a", "b"], ["c", "a"]], k=60)
@@ -64,6 +65,7 @@ class TestBM25:
         assert scores.argmax() == 0
         assert scores[3] == 0.0
 
+    @pytest.mark.smoke
     def test_okapi_formula_hand_check(self):
         # single-term query over a 2-doc corpus, hand-computed BM25Okapi
         corpus = [["apple", "banana"], ["banana", "banana", "cherry"]]
@@ -99,6 +101,7 @@ class TestFilters:
         assert not f.active
         assert passes_filter(f, None, None)
 
+    @pytest.mark.smoke
     def test_filetype_mapping(self):
         f = build_filter({"fileType": ["PDF", "excel"]})
         assert passes_filter(f, "/docs/a.pdf", None)
@@ -206,6 +209,7 @@ class TestAdaptiveNormalize:
         assert method == "max-normalization"
         np.testing.assert_allclose(out, [0.25, 0.5, 1.0])
 
+    @pytest.mark.smoke
     def test_mixed_minmax(self):
         out, method = adaptive_normalize(np.array([-1.0, 0.0, 1.0]))
         assert method == "min-max-normalization"
@@ -235,6 +239,7 @@ class TestReranker:
         {"text": "rent is mentioned here once", "retrieval_score": 0.2},
     ]
 
+    @pytest.mark.smoke
     def test_rerank_reorders_by_relevance(self):
         rr = CrossEncoderReranker.__new__(CrossEncoderReranker)
         rr.model = _FakeCrossModel()

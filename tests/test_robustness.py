@@ -199,6 +199,7 @@ class TestFailureDegradation:
             pytest.fail("chunk_context leaked provider exception")
         assert ctx is None
 
+    @pytest.mark.smoke
     def test_llm_none_returns_fallbacks(self):
         llm = _NoneLLM()
         assert normalize_query(llm, "q") == ["q"]
@@ -317,6 +318,7 @@ class TestRoundThreePrimitives:
         assert data.shape == (512, 64)
         assert len(np.unique(data)) == 1 and data[0, 0] in (1.0, 2.0)
 
+    @pytest.mark.smoke
     def test_active_count(self):
         from financial_rag_tpu.serving.batcher import ActiveCount
 

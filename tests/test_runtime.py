@@ -19,6 +19,7 @@ def built(tmp_path, reference_fixture_json):
 
 
 class TestRuntime:
+    @pytest.mark.smoke
     def test_build_with_fallback_encoders(self, built):
         rt, tmp_path = built
         assert set(rt.indexes) == {"baai", "gte"}

@@ -57,6 +57,7 @@ def test_encode_parity(tok, hf_tok, text):
     assert ours == theirs
 
 
+@pytest.mark.smoke
 def test_encode_pair_parity(tok, hf_tok):
     a = "What is the GST amount on the invoice?"
     b = "The invoice total is Rs. 42,800 including GST of Rs. 6,528 at 18 percent." * 30
@@ -66,6 +67,7 @@ def test_encode_pair_parity(tok, hf_tok):
     assert ours_types == enc["token_type_ids"]
 
 
+@pytest.mark.smoke
 def test_encode_batch_shapes(tok):
     out = tok.encode_batch(["short", "a slightly longer sentence about invoices"], max_len=512)
     assert out["input_ids"].shape == out["attention_mask"].shape

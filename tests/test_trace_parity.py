@@ -56,6 +56,7 @@ class TestRecordedTraceParity:
                 checked += 1
         assert checked >= 5
 
+    @pytest.mark.smoke
     def test_rrf_fuse_reproduces_recorded_equal_rank_score(self):
         """The top trace child scored 2/67: both encoder lists at rank 7.
         Our rrf_fuse must produce the identical float."""

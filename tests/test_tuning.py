@@ -58,6 +58,7 @@ class TestTuneNprobe:
         assert report["queries"] == 16
         assert not report["applied"]
 
+    @pytest.mark.smoke
     def test_empty_index_noop(self):
         idx = IVFIndex(dim=32, nlist=8, list_size=128, nprobe=4)
         report = idx.tune_nprobe()
@@ -223,6 +224,7 @@ class TestRuntimeAutotune:
 
 
 class TestTinyCorpusIVF:
+    @pytest.mark.smoke
     def test_auto_train_with_fewer_vectors_than_nlist(self):
         # streaming regime: first upsert batch smaller than nlist must not
         # crash the k-means empty-cluster reseed (k > n)

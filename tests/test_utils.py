@@ -15,6 +15,7 @@ from financial_rag_tpu.utils import (
 from financial_rag_tpu.utils.sanitize import QueryValidationError
 
 
+@pytest.mark.smoke
 def test_sanitize_strips_script():
     q = validate_and_sanitize_query("rent <script>alert(1)</script> amount")
     assert "script" not in q
@@ -64,6 +65,7 @@ def test_misc_helpers():
     assert assess_chunk_quality("rent", "") == 0.0
 
 
+@pytest.mark.smoke
 def test_config_tree_and_sanitize(monkeypatch):
     import numpy as np
 
