@@ -208,6 +208,10 @@ class LLMConfig:
     # behavior (speculative batch-1) is untouched.
     local_continuous_rows: int = field(default_factory=lambda: _env("LLM_CONTINUOUS_ROWS", 8, int))
     local_continuous_window: int = field(default_factory=lambda: _env("LLM_CONTINUOUS_WINDOW", 2048, int))
+    # prompt-lookup drafts per continuous-engine dispatch (0 = plain greedy
+    # segments): each joined stream emits 1..k+1 tokens per shared verify
+    # step instead of exactly 1 (llm/continuous.py speculative blocks)
+    local_continuous_spec_k: int = field(default_factory=lambda: _env("LLM_CONTINUOUS_SPEC_K", 7, int))
 
 
 @dataclass

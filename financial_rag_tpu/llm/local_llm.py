@@ -383,6 +383,8 @@ class LocalLLM:
                     rows=max(1, int(self.cfg.local_continuous_rows)),
                     t_prompt=_bucket(self.max_prompt_tokens, _PROMPT_BUCKETS),
                     window=max(64, int(self.cfg.local_continuous_window)),
+                    spec_k=max(0, int(getattr(
+                        self.cfg, "local_continuous_spec_k", 0))),
                     prefill_impl_fn=self._prefill_impl)
             return self._engine
 

@@ -610,6 +610,45 @@ def _verify_block(params, toks, pos0, slot0, k_cache, v_cache, prompt_mask,
     return _logits(params, x, cfg)[0], k_cache, v_cache          # [S, V]
 
 
+def _verify_block_rows(params, toks, pos0, slot0, k_cache, v_cache,
+                       prompt_mask, cfg: DecoderConfig):
+    """_verify_block generalized to a row batch with PER-ROW rotary
+    positions: toks [B, S], pos0 [B], slot0 a scalar SHARED write slot
+    (the continuous engine's shared-write-head cache layout). Returns
+    (logits [B, S, V], k_cache, v_cache). Same masking contract as
+    _verify_block: position i attends cache slot j iff j <= slot0 + i and
+    the row's prompt mask allows j — which is also what hides slots a
+    previous speculative block REJECTED for this row."""
+    b, s = toks.shape
+    positions = pos0[:, None] + jnp.arange(s)[None, :]           # [B, S]
+    max_total = k_cache.shape[2]
+    jslots = jnp.arange(max_total)[None, None, :]                # [1, 1, T]
+    mask = (jslots <= (slot0 + jnp.arange(s))[None, :, None]) \
+        & prompt_mask[:, None, :]                                # [B, S, T]
+    x = params["embed"][toks]                                    # [B, S, H]
+    cos, sin = _rope_tables(positions, cfg.rope_theta, cfg.head_dim)
+
+    def body(h, xs):
+        lp, kc, vc = xs
+        hh = _rms_norm(h, lp["ln1"], cfg.norm_eps)
+        q, k, v = _qkv(hh, lp, cfg)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = _rope_apply(q, cos, sin)
+        k = _rope_apply(k, cos, sin)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot0, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot0, axis=1)
+        attn = _attend(q, kc, vc, mask, cfg).reshape(b, s, cfg.hidden_size)
+        h = h + _mm(attn, lp["o_w"])
+        hh = _rms_norm(h, lp["ln2"], cfg.norm_eps)
+        return h + _ffn(hh, lp, cfg), (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(body, x,
+                                         (params["layers"], k_cache, v_cache))
+    return _logits(params, x, cfg), k_cache, v_cache             # [B, S, V]
+
+
 def _pl_drafts(ctx, slot, valid_from, *, ngram: int, draft_k: int):
     """Prompt-lookup drafting on device: find the most recent earlier
     occurrence of the sequence's last `ngram` tokens and propose the

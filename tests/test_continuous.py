@@ -116,6 +116,84 @@ class TestEngineParity:
             eng.close()
 
 
+class TestSpeculativeBlocks:
+    def test_spec_engine_matches_greedy_reference(self, setup):
+        """Speculative blocks (prompt-lookup drafts + shared verify) must
+        emit exactly the greedy token sequence — acceptance affects speed,
+        never content. The window is sized so spec blocks actually run."""
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=4, t_prompt=16,
+                                     window=128, segment=4, spec_k=4)
+        try:
+            rng = np.random.default_rng(20)
+            ids, mask = _prompt(rng, cfg, s_real=10, bucket=16)
+            got = _drain(eng.submit(ids, mask, 24))
+            assert got == _reference(params, cfg, ids, mask, 24)
+            st = eng.stats()
+            assert st["spec_blocks"] > 0, f"spec never engaged: {st}"
+        finally:
+            eng.close()
+
+    def test_spec_staggered_join_parity(self, setup):
+        """A stream that joins while spec blocks are running must still
+        emit its own batch-1 greedy sequence: rejected-slot masking and
+        per-row draft histories leak nothing across rows."""
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=4, t_prompt=16,
+                                     window=256, segment=4, spec_k=4)
+        try:
+            rng = np.random.default_rng(21)
+            ids_a, mask_a = _prompt(rng, cfg, s_real=12, bucket=16)
+            ids_b, mask_b = _prompt(rng, cfg, s_real=6, bucket=8)
+            it_a = eng.submit(ids_a, mask_a, 20)
+            first_a = next(it_a)
+            it_b = eng.submit(ids_b, mask_b, 20)
+            got_a = first_a[0].tolist() + _drain(it_a)
+            got_b = _drain(it_b)
+            assert got_a == _reference(params, cfg, ids_a, mask_a, 20)
+            assert got_b == _reference(params, cfg, ids_b, mask_b, 20)
+            assert eng.stats()["spec_blocks"] > 0
+        finally:
+            eng.close()
+
+    def test_spec_falls_back_to_greedy_near_window_end(self, setup):
+        """Window slots burn at blk per spec block; when one more block
+        could strand a live row the engine must finish on greedy segments
+        — and the stream still completes with the exact greedy tokens."""
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        # window 24, cap 20, blk 6: after at most one spec block the
+        # remaining slots force the greedy tail
+        eng = ContinuousDecodeEngine(params, cfg, rows=2, t_prompt=16,
+                                     window=24, segment=4, spec_k=5)
+        try:
+            rng = np.random.default_rng(22)
+            ids, mask = _prompt(rng, cfg, s_real=8, bucket=8)
+            got = _drain(eng.submit(ids, mask, 20))
+            assert got == _reference(params, cfg, ids, mask, 20)
+            st = eng.stats()
+            assert st["segments"] > 0, f"greedy tail never ran: {st}"
+        finally:
+            eng.close()
+
+    def test_spec_zero_disables(self, setup):
+        from financial_rag_tpu.llm.continuous import ContinuousDecodeEngine
+        cfg, params = setup
+        eng = ContinuousDecodeEngine(params, cfg, rows=2, t_prompt=16,
+                                     window=32, segment=4, spec_k=0)
+        try:
+            assert eng._spec_fn is None
+            rng = np.random.default_rng(23)
+            ids, mask = _prompt(rng, cfg, s_real=6, bucket=8)
+            got = _drain(eng.submit(ids, mask, 12))
+            assert got == _reference(params, cfg, ids, mask, 12)
+            assert eng.stats()["spec_blocks"] == 0
+        finally:
+            eng.close()
+
+
 class TestHardening:
     def test_window_rounds_down_to_segment_multiple(self, setup):
         """A window that isn't a segment multiple must be rounded down so
