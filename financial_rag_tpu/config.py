@@ -126,6 +126,11 @@ class IndexConfig:
     # recall@10 vs an exhaustive sweep meets this target (0 = disabled)
     ivf_autotune_recall: float = field(default_factory=lambda: _env("IVF_AUTOTUNE_RECALL", 0.0))
     ivf_autotune_sample: int = field(default_factory=lambda: _env("IVF_AUTOTUNE_SAMPLE", 256))
+    # OOD safety margin (index/tuning.py): after tuning, double nprobe until
+    # a worst-case SHIFTED query sample also clears the target — protects a
+    # drifting query workload from the tuned point's recall cliff at the
+    # cost of some of the tuning speedup (scripts/bench_ivf_ood.py measures)
+    ivf_tune_ood_guard: bool = field(default_factory=lambda: _env("IVF_TUNE_OOD_GUARD", False))
     persist_dir: str = field(default_factory=lambda: _env("INDEX_PERSIST_DIR", ".tpu_index"))
     collection_prefix: str = field(default_factory=lambda: _env("CHILD_VECTOR_COLLECTION", "children"))
 

@@ -60,6 +60,7 @@ def tune_nprobe(
     noise: float = 0.25,
     seed: int = 0,
     apply: bool = True,
+    ood_guard: bool = False,
 ) -> dict:
     """Sweep nprobe in doubling steps and pick the smallest value whose
     recall@k against the exhaustive (nprobe=nlist) sweep meets
@@ -83,6 +84,19 @@ def tune_nprobe(
     vectors are drawn with ``resamples`` independent seeds.
     With ``apply=True`` (default) the chosen value is written back to the
     index so subsequent searches — and the persisted manifest — use it.
+
+    ``ood_guard`` (the VERDICT r4 #7 safety-margin rule): the tuned point
+    is optimal only for queries that look like the tuning sample; a query
+    workload that DRIFTS (new topics over the same corpus) can fall off a
+    recall cliff at a small tuned nprobe (measured in
+    scripts/bench_ivf_ood.py: mixture-shifted recall 0.88 at the tuned
+    point that scores 1.00 in-distribution). With the guard on, the chosen
+    nprobe is doubled until a worst-case shifted sample — uniform random
+    unit queries, the distribution with NO relation to the corpus geometry
+    — also clears the raw target. This bounds the tuning benefit (the
+    guard can only settle at or below what the conservative default pays)
+    in exchange for drift immunity; enable it via IVF_TUNE_OOD_GUARD=1
+    when the query workload is open-ended.
     """
     n_live = index.count()
     if n_live == 0:
@@ -148,6 +162,27 @@ def tune_nprobe(
             k, effective, best, sweep[-1]["nprobe"] if sweep else 0,
             chosen, nlist)
 
+    guard_report = None
+    if ood_guard and chosen < nlist:
+        grng = np.random.default_rng(seed + 424_242)
+        dim = q.shape[1]
+        gq = grng.standard_normal((min(sample, 256), dim)).astype(np.float32)
+        gq /= np.maximum(np.linalg.norm(gq, axis=1, keepdims=True), 1e-12)
+        g_exact_ids, g_exact_s = index.search(gq, k, nprobe=nlist)
+        start = chosen
+        while True:
+            gids, gs = index.search(gq, k, nprobe=chosen)
+            g_recall = _recall_at_k(gids, gs, g_exact_ids, g_exact_s)
+            if g_recall >= target_recall or chosen >= nlist:
+                break
+            chosen = min(chosen * 2, nlist)
+        guard_report = {"start_nprobe": start, "guarded_nprobe": chosen,
+                        "shifted_recall": round(g_recall, 4),
+                        "queries": int(gq.shape[0])}
+        if chosen != start:
+            log.info("ood guard raised nprobe %d -> %d (shifted-sample "
+                     "recall@%d %.4f)", start, chosen, k, g_recall)
+
     report = {
         "nprobe": chosen,
         "k": k,
@@ -165,6 +200,7 @@ def tune_nprobe(
         "queries": int(q.shape[0]),
         "sweep": sweep,
         "applied": bool(apply),
+        "ood_guard": guard_report,
     }
     if apply:
         index.nprobe = chosen

@@ -341,7 +341,8 @@ class Runtime:
                     recorded = None
                 reports[name] = idx.tune_nprobe(
                     target_recall=target, queries=recorded,
-                    sample=self.config.index.ivf_autotune_sample)
+                    sample=self.config.index.ivf_autotune_sample,
+                    ood_guard=self.config.index.ivf_tune_ood_guard)
                 reports[name]["query_source"] = (
                     "recorded" if recorded is not None else "perturbed-sample")
                 log.info("index %s: tuned nprobe=%d (%s queries)", name,

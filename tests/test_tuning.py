@@ -129,6 +129,33 @@ class TestTuneNprobe:
         assert all("recall_min" in s and s["recall_min"] <= s["recall"] + 1e-9
                    for s in report["sweep"])
 
+    def test_ood_guard_never_lowers_and_meets_shifted_target(self, ivf):
+        """The safety-margin rule (VERDICT r4 #7): with ood_guard=True the
+        chosen nprobe must also clear the target on a worst-case SHIFTED
+        sample (uniform random unit queries) — the guard can raise the
+        pick, never lower it, and the report records what it did."""
+        plain = ivf.tune_nprobe(k=10, target_recall=0.9, sample=64, seed=0,
+                                apply=False)
+        guarded = ivf.tune_nprobe(k=10, target_recall=0.9, sample=64, seed=0,
+                                  apply=False, ood_guard=True)
+        assert guarded["nprobe"] >= plain["nprobe"]
+        g = guarded["ood_guard"]
+        assert g is not None
+        assert g["start_nprobe"] == plain["nprobe"]
+        assert g["guarded_nprobe"] == guarded["nprobe"]
+        # the guard stops only when shifted recall clears the raw target
+        # (or nprobe hit nlist, which is exhaustive)
+        assert g["shifted_recall"] >= 0.9 or guarded["nprobe"] == ivf.nlist
+        # and the guarded pick really delivers on a fresh shifted sample
+        rng = np.random.default_rng(99)
+        q = rng.standard_normal((64, ivf.dim)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        exact, _ = ivf.search(q, 10, nprobe=ivf.nlist)
+        got, _ = ivf.search(q, 10, nprobe=guarded["nprobe"])
+        rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(got, exact)])
+        assert rec >= 0.85, rec   # fresh-sample slack below the 0.9 target
+
     def test_choice_is_stable_across_resampled_seeds(self, ivf):
         """The same index tuned with disjoint random query samples must
         pick the same operating point (the instability the margin +
