@@ -118,7 +118,7 @@ def slope_time(make_loop, iters_a: int, iters_b: int,
 
 
 def bench_search(jax, jnp, on_tpu):
-    from financial_rag_tpu.ops.topk import bucketed_topk_fused, topk_matmul_reference
+    from financial_rag_tpu.ops.topk import packed_topk_fused, topk_matmul_reference
 
     nq, n, d, k = 128, 102_400, 384, 24
     if not on_tpu:
@@ -135,7 +135,9 @@ def bench_search(jax, jnp, on_tpu):
     vd = jnp.asarray(np.ones(n, np.float32))
 
     if on_tpu:
-        raw = lambda qq: bucketed_topk_fused(qq, xd, vd, k, interpret=False)  # noqa: E731
+        # the serving default (FlatIndex pallas_fused, float corpus):
+        # packed score+tile running max, top-2 per bucket (ops/topk.py)
+        raw = lambda qq: packed_topk_fused(qq, xd, vd, k, interpret=False)  # noqa: E731
     else:
         raw = lambda qq: topk_matmul_reference(qq, xd, vd, k)  # noqa: E731
 

@@ -2,6 +2,7 @@ from financial_rag_tpu.ops.pool_norm import masked_mean_l2_normalize
 from financial_rag_tpu.ops.topk import (
     bucketed_topk,
     bucketed_topk_fused,
+    packed_topk_fused,
     topk_matmul,
     topk_matmul_reference,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "masked_mean_l2_normalize",
     "bucketed_topk",
     "bucketed_topk_fused",
+    "packed_topk_fused",
     "topk_matmul",
     "topk_matmul_reference",
     "flash_attention",
