@@ -74,6 +74,14 @@ def write_llm_checkpoint(dest: Path, words, small: bool) -> None:
         if extra not in vocab:
             vocab[extra] = len(vocab)
     eos_id = vocab["<|im_end|>"]
+    # Every model id must decode to SOME word: a random-weight model's
+    # greedy argmax lands anywhere in the 151,936-id space, and ids the
+    # tokenizer cannot decode produce empty text -> zero answer deltas ->
+    # the stream looks broken when only the WEIGHTS are fake. Pad the
+    # tokenizer vocab with filler words up to the model's vocab size.
+    full_vocab = 151_936 if not small else max(512, len(vocab))
+    for i in range(len(vocab), full_vocab):
+        vocab[f"w{i}"] = i
 
     torch.manual_seed(7)
     if small:

@@ -295,6 +295,15 @@ def main():
                    "p95_ms": round(median_of(key, "p95_ms"), 1),
                    "errors": sum(s["errors"] for s in samples[key]),
                    "reps": reps, "backend": backend}
+            # per-phase wall ms/query under THIS load (median across reps
+            # per label): the sum approximates p50 for serial phases, so
+            # "where does the time go" is answerable from the artifact
+            labels = sorted({lb for s in samples[key]
+                             for lb in s["phase_ms_per_query"]})
+            row["phase_ms_per_query"] = {
+                lb: sorted(s["phase_ms_per_query"].get(lb, 0.0)
+                           for s in samples[key])[reps // 2]
+                for lb in labels}
             if mode:
                 row["direct_limit"] = direct_limit
                 if rts[True].hybrid.sweep_batcher is not None:
