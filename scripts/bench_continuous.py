@@ -183,10 +183,12 @@ def main():
         from werkzeug.test import Client
         app = rt.make_app()
         make_client = lambda: Client(app)  # noqa: E731
-        tok = rt.engine.llm.inner._tok if hasattr(rt.engine.llm, "inner") \
-            else rt.engine.llm._tok
         log("warming (load + compile all decode programs)...")
         rt.warm_sweeps()
+        # AFTER warm: the LLM's tokenizer is lazily created by load
+        tok = rt.engine.llm.inner._tok if hasattr(rt.engine.llm, "inner") \
+            else rt.engine.llm._tok
+        assert tok is not None, "LLM tokenizer not loaded after warm_sweeps"
         # warm both the direct stream path and (join mode) the engine path:
         # two concurrent streams compile prefill buckets + the segment/spec
         # programs before measurement
