@@ -102,8 +102,13 @@ class FeedbackDatabase:
     def _conn(self) -> sqlite3.Connection:
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = sqlite3.connect(self.db_path)
+            # 30s busy timeout: WAL allows one writer at a time, and under
+            # an oversubscribed host (full test suite, serving + analytics
+            # concurrently) a writer can hold the lock past sqlite's 5s
+            # default, surfacing as 'database is locked'
+            conn = sqlite3.connect(self.db_path, timeout=30.0)
             conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=30000")
             self._local.conn = conn
         return conn
 

@@ -162,10 +162,16 @@ def main() -> None:
         "backend": jax.default_backend(),
     }
 
+    # BENCH_SCALE.json is JSON-LINES (one row per line); append the ood
+    # section as one more row, replacing any previous ood row
     out = Path(args.out)
-    data = json.loads(out.read_text()) if out.exists() else {}
-    data["ood"] = section
-    out.write_text(json.dumps(data, indent=1))
+    lines = [l for l in out.read_text().splitlines()
+             if l.strip()] if out.exists() else []
+    lines = [l for l in lines
+             if json.loads(l).get("metric") != "ivf_ood_robustness"]
+    section = {"metric": "ivf_ood_robustness", **section}
+    lines.append(json.dumps(section))
+    out.write_text("\n".join(lines) + "\n")
     print(json.dumps({"metric": "ivf tuned-nprobe OOD recall gap "
                       f"(@{n // 1000}k, nlist={nlist}, tuned nprobe={tuned})",
                       "value": ood_gap, "unit": "recall_delta",
