@@ -308,13 +308,29 @@ def main() -> None:
     on_tpu = backend == "tpu"
     log(f"backend={backend} devices={jax.devices()}")
 
-    qps, m_search, recall, n, nq, k = bench_search(jax, jnp, on_tpu)
-    cps, m_enc, eb, es = bench_encode(jax, jnp, on_tpu)
-    m_rr, rb, rs = bench_rerank(jax, jnp, on_tpu)
+    def with_retries(fn, *args, attempts=3, backoff_s=30.0):
+        # the axon tunnel's remote-compile RPC occasionally drops mid-body
+        # ("response body closed before all bytes were read"); one such
+        # hiccup must not sink the whole driver bench — retry the section.
+        # A genuine kernel/code error still raises after `attempts`.
+        for i in range(attempts):
+            try:
+                return fn(*args)
+            except Exception as e:  # noqa: BLE001
+                if i == attempts - 1:
+                    raise
+                log(f"bench section {fn.__name__} failed ({e!r}); "
+                    f"retrying in {backoff_s:.0f}s")
+                time.sleep(backoff_s)
+
+    qps, m_search, recall, n, nq, k = with_retries(bench_search, jax, jnp, on_tpu)
+    cps, m_enc, eb, es = with_retries(bench_encode, jax, jnp, on_tpu)
+    m_rr, rb, rs = with_retries(bench_rerank, jax, jnp, on_tpu)
     rr_ms = m_rr.sec * 1e3
     ivf_row = None
     try:
-        iqps, m_ivf, inprobe, inlist, irecall, in_ = bench_ivf(jax, jnp, on_tpu)
+        iqps, m_ivf, inprobe, inlist, irecall, in_ = with_retries(
+            bench_ivf, jax, jnp, on_tpu)
         ivf_row = {"metric": f"ivf search QPS @ {in_ // 1000}k chunks "
                    f"(nprobe={inprobe} tuned, nlist={inlist})",
                    "value": round(iqps, 1), "unit": "qps",
