@@ -1,4 +1,10 @@
-"""Uniform stdout logging (capability of reference utils.py:5-27)."""
+"""Uniform logging (capability of reference utils.py:5-27).
+
+Unlike the reference (which logs to stdout), the handler writes to STDERR:
+several CLIs in this repo (bench.py, scripts/bench_*.py) print one
+machine-readable JSON line on stdout for the driver/callers to parse, and
+an INFO line (e.g. the IVF autotuner's sweep report) must never corrupt
+that stream."""
 
 from __future__ import annotations
 
@@ -13,7 +19,7 @@ def _configure_root() -> None:
     global _configured
     if _configured:
         return
-    handler = logging.StreamHandler(sys.stdout)
+    handler = logging.StreamHandler(sys.stderr)
     try:
         handler.stream.reconfigure(encoding="utf-8")
     except Exception:
