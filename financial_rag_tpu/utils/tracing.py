@@ -106,8 +106,18 @@ class QueryTracer:
         # compact separators: the artifact stays a diffable JSON document
         # (jq-friendly) at roughly half the encode time of indent=2 — at
         # 500+ QPS the writer thread's encode is real GIL pressure
+        text = json.dumps(payload, separators=(",", ":"), default=str)
         try:
-            path.write_text(json.dumps(payload, separators=(",", ":"), default=str))
+            path.write_text(text)
+        except FileNotFoundError:
+            # the trace dir can vanish between the one-time mkdir and a
+            # background drain (temp-dir cleanup, blue/green data-dir swap);
+            # recreate it and retry once
+            try:
+                path.parent.mkdir(parents=True, exist_ok=True)
+                path.write_text(text)
+            except OSError as e:
+                log.warning("failed to write query trace: %s", e)
         except OSError as e:
             log.warning("failed to write query trace: %s", e)
 

@@ -122,3 +122,20 @@ def test_model_config_from_json():
         pytest.skip("reference models not available")
     mc = ModelConfig.from_json(p)
     assert mc.hidden_size == 384 and mc.num_layers == 12 and mc.vocab_size == 30522
+
+
+def test_query_tracer_survives_deleted_dir(tmp_path):
+    """A trace dir removed after the tracer's one-time mkdir (temp-dir
+    cleanup, blue/green data-dir swap) must be recreated on the next write,
+    not silently drop the trace."""
+    import shutil
+
+    from financial_rag_tpu.utils.tracing import QueryTracer
+
+    d = tmp_path / "test_logs"
+    tracer = QueryTracer(d, background=False)
+    kw = dict(queries=["q"], children=[], parents=[], prompt="p", answer="a")
+    assert tracer.write(question="first", **kw) is not None
+    shutil.rmtree(d)
+    p = tracer.write(question="second", **kw)
+    assert p is not None and p.exists()
