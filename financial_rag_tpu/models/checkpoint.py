@@ -166,6 +166,14 @@ def load_params(
         log.info("loaded %d tensors from %s", len(sd), st_path)
         return params_from_torch_state_dict(sd, config, dtype=dtype), config
 
+    npz_path = model_dir / "model.npz"
+    if npz_path.exists():
+        # our own fine-tuned checkpoint format (training/rerank_ft.save_finetuned):
+        # the params pytree flattened by save_params_npz, already this
+        # framework's layout — no torch name mapping needed
+        log.info("loaded fine-tuned params from %s", npz_path)
+        return load_params_npz(npz_path, dtype=dtype), config
+
     if fallback_seed is not None:
         log.warning("weights at %s unavailable (LFS stub or missing); using seeded random init", st_path)
         return random_params(config, seed=fallback_seed, dtype=dtype), config

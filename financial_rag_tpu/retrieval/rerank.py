@@ -91,7 +91,10 @@ class CrossEncoderModel:
             return lambda: np.zeros((0,), np.float32)
         enc = [self.tokenizer.encode_pair(a, b, max_len=self.max_seq_len) for a, b in pairs]
         longest = max(len(ids) for ids, _ in enc)
-        seq_len = next((s for s in SEQ_BUCKETS if longest <= s), self.max_seq_len)
+        # cap buckets at max_seq_len: a small model (max_position < 128)
+        # must never be padded past its own position table
+        seq_len = next((s for s in SEQ_BUCKETS if longest <= s <= self.max_seq_len),
+                       self.max_seq_len)
         n = len(enc)
         if pad_pairs is not None and pad_pairs >= n:
             npad = pad_pairs

@@ -127,6 +127,33 @@ class FeedbackDatabase:
                  response_time_s, result_count))
             return cur.lastrowid
 
+    def rated_results(self, *, window_s: Optional[float] = None):
+        """Rated queries joined with their cached retrieval results:
+        yields (query, rating, result_dict) — the mining source for
+        reranker fine-tuning (training/rerank_ft.mine_feedback_triples).
+        The join is on the literal query text: the cache row the engine
+        wrote for a query holds exactly the chunks the rated answer was
+        built from. Queries whose cache entry has expired are skipped
+        (their chunk lists are gone)."""
+        self.flush_writes()
+        q = """SELECT f.query, f.rating, c.result_json
+               FROM query_feedback f JOIN query_cache c ON c.query = f.query
+               WHERE f.rating IS NOT NULL"""
+        args: tuple = ()
+        if window_s is not None:
+            q += " AND f.timestamp >= ?"
+            args = (time.time() - window_s,)
+        q += " ORDER BY f.timestamp"
+        with self._conn() as c:
+            rows = c.execute(q, args).fetchall()
+        out = []
+        for query, rating, result_json in rows:
+            try:
+                out.append((query, int(rating), json.loads(result_json)))
+            except (ValueError, TypeError):
+                continue
+        return out
+
     # ------------------------------------------------- deferred batch writes
 
     def _ensure_writer(self) -> None:
